@@ -1,0 +1,474 @@
+"""GCPNet denoiser ("dynamics network") over dense molecule batches.
+
+Behavioral counterpart of the reference's GCPEmbedding / GCPMessagePassing /
+GCPInteractions / GCPNetDynamics (gcpnet.py:494-1232), re-designed dense:
+
+  * Edges are the implicit fully-connected-with-self-loops graph over each
+    molecule's real nodes (the reference's runtime edge_index,
+    gcpnet.py:1056-1066, keeps the diagonal — see ops/geometry.py).
+  * Message passing: per-edge GCP stack on ``[B, N, N, .]`` tensors, masked
+    sum over the target axis.  Node-side GCPs receive per-node mean frames.
+  * Frames are computed ONCE per forward from the centralized input
+    positions and reused across all interaction layers (matching the
+    reference, which does not re-localize after position updates).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from bio_diffusion_tpu.config.schema import (
+    DataloaderConfig,
+    DiffusionConfig,
+    LayerConfig,
+    ModelConfig,
+    ModuleConfig,
+    compute_num_atom_types,
+)
+from bio_diffusion_tpu.models.gcp import make_gcp
+from bio_diffusion_tpu.models.nn import GCPDropout, GCPLayerNorm, Linear
+from bio_diffusion_tpu.ops.geometry import (
+    build_edge_mask,
+    centralize,
+    edge_features,
+    localize,
+    masked_sum,
+    node_mean_frames,
+    orientations,
+)
+from bio_diffusion_tpu.ops.scalar_vector import ScalarVector
+
+Array = jnp.ndarray
+
+NODE_FEATURE_DIFFUSION_TARGETS = ("atom_types_and_coords",)
+
+
+class GCPEmbedding(nn.Module):
+    """Input embedding: one edge GCP + one node GCP with optional pre-norm.
+
+    Reference: gcpnet.py:494-603.  ``num_atom_types=0`` in the dynamics use
+    (atom types arrive as continuous noisy values), so no embedding table.
+    """
+
+    edge_input_dims: Tuple[int, int]
+    node_input_dims: Tuple[int, int]
+    edge_hidden_dims: Tuple[int, int]
+    node_hidden_dims: Tuple[int, int]
+    module_cfg: ModuleConfig
+    num_atom_types: int = 0
+    pre_norm: bool = True
+    use_gcp_norm: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        node_rep: ScalarVector,  # [B, N, .]
+        edge_rep: ScalarVector,  # [B, N, N, .]
+        edge_frames: Array,  # [B, N, N, 3, 3]
+        node_frames: Array,  # [B, N, 3, 3] (mean frames)
+    ) -> Tuple[ScalarVector, ScalarVector]:
+        if self.num_atom_types > 0:
+            emb = nn.Embed(self.num_atom_types, self.num_atom_types, name="atom_embedding")
+            node_rep = ScalarVector(emb(node_rep.scalar.astype(jnp.int32)), node_rep.vector)
+
+        if self.pre_norm:
+            edge_rep = GCPLayerNorm(self.use_gcp_norm, name="edge_normalization")(edge_rep)
+            node_rep = GCPLayerNorm(self.use_gcp_norm, name="node_normalization")(node_rep)
+
+        edge_out = make_gcp(
+            self.module_cfg.selected_gcp,
+            self.edge_input_dims,
+            self.edge_hidden_dims,
+            self.module_cfg,
+            nonlinearities=self.module_cfg.nonlinearities,
+            name="edge_embedding",
+        )(edge_rep, edge_frames)
+        node_out = make_gcp(
+            self.module_cfg.selected_gcp,
+            self.node_input_dims,
+            self.node_hidden_dims,
+            self.module_cfg,
+            nonlinearities=(None, None),
+            name="node_embedding",
+        )(node_rep, node_frames)
+
+        if not self.pre_norm:
+            edge_out = GCPLayerNorm(self.use_gcp_norm, name="edge_normalization")(edge_out)
+            node_out = GCPLayerNorm(self.use_gcp_norm, name="node_normalization")(node_out)
+
+        return node_out, edge_out
+
+
+class GCPMessagePassing(nn.Module):
+    """Per-edge residual GCP message stack + sigmoid scalar attention + masked-sum aggregation.
+
+    Reference: gcpnet.py:618-737.  Message = concat(src node SV, edge SV,
+    dst node SV); aggregation = sum over targets j for each source i.
+    """
+
+    input_dims: Tuple[int, int]
+    output_dims: Tuple[int, int]
+    edge_dims: Tuple[int, int]
+    module_cfg: ModuleConfig
+    layer_cfg: LayerConfig
+    use_scalar_message_attention: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        node_rep: ScalarVector,  # [B, N, .]
+        edge_rep: ScalarVector,  # [B, N, N, .]
+        edge_frames: Array,  # [B, N, N, 3, 3]
+        edge_mask: Array,  # [B, N, N]
+    ) -> ScalarVector:
+        cfg = self.module_cfg
+        mp_cfg = self.layer_cfg.mp_cfg
+        s_out, v_out = self.output_dims
+
+        # assemble per-edge messages: (node_i, edge_ij, node_j)
+        s, v = node_rep
+        s_i = jnp.broadcast_to(s[..., :, None, :], s.shape[:-2] + (s.shape[-2], s.shape[-2], s.shape[-1]))
+        s_j = jnp.broadcast_to(s[..., None, :, :], s_i.shape)
+        v_i = jnp.broadcast_to(
+            v[..., :, None, :, :], v.shape[:-3] + (v.shape[-3], v.shape[-3]) + v.shape[-2:]
+        )
+        v_j = jnp.broadcast_to(v[..., None, :, :, :], v_i.shape)
+        message = ScalarVector(
+            jnp.concatenate([s_i, edge_rep.scalar, s_j], axis=-1),
+            jnp.concatenate([v_i, edge_rep.vector, v_j], axis=-2),
+        )
+
+        scalars_in = 2 * self.input_dims[0] + self.edge_dims[0]
+        vectors_in = 2 * self.input_dims[1] + self.edge_dims[1]
+
+        def primary(idx: int, in_dims):
+            return make_gcp(
+                cfg.selected_gcp,
+                in_dims,
+                self.output_dims,
+                cfg,
+                nonlinearities=cfg.nonlinearities,
+                bottleneck=cfg.default_bottleneck,
+                vector_residual=cfg.default_vector_residual,
+                name=f"message_fusion_{idx}",
+            )
+
+        def secondary(idx: int):
+            return make_gcp(
+                cfg.selected_gcp,
+                self.output_dims,
+                self.output_dims,
+                cfg,
+                nonlinearities=cfg.nonlinearities,
+                bottleneck=cfg.bottleneck,
+                vector_residual=cfg.vector_residual,
+                name=f"message_fusion_{idx}",
+            )
+
+        modules = [primary(0, (scalars_in, vectors_in))]
+        for i in range(mp_cfg.num_message_layers - 2):
+            modules.append(secondary(i + 1))
+        if mp_cfg.num_message_layers > 1:
+            modules.append(primary(mp_cfg.num_message_layers - 1, self.output_dims))
+
+        if mp_cfg.use_residual_message_gcp:
+            residual = modules[0](message, edge_frames)
+            for module in modules[1:]:
+                residual = residual + module(residual, edge_frames)
+        else:
+            residual = message
+            for module in modules:
+                residual = module(residual, edge_frames)
+
+        if self.use_scalar_message_attention:
+            attn = nn.sigmoid(Linear(1, name="scalar_message_attention")(residual.scalar))
+            residual = ScalarVector(residual.scalar * attn, residual.vector)
+
+        # aggregate: masked sum over target axis j (axis -2 of the edge grid)
+        agg_scalar = masked_sum(residual.scalar, edge_mask, axis=-2)
+        agg_vector = masked_sum(residual.vector, edge_mask[..., None], axis=-3)
+        return ScalarVector(agg_scalar, agg_vector)
+
+
+class GCPInteractions(nn.Module):
+    """One denoiser layer: message passing + residual feedforward + position update.
+
+    Reference: gcpnet.py:740-930.
+    """
+
+    node_dims: Tuple[int, int]
+    edge_dims: Tuple[int, int]
+    module_cfg: ModuleConfig
+    layer_cfg: LayerConfig
+    dropout: float = 0.0
+    update_node_positions: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        node_rep: ScalarVector,  # [B, N, .]
+        edge_rep: ScalarVector,  # [B, N, N, .]
+        edge_frames: Array,
+        node_frames: Array,
+        node_mask: Array,  # [B, N]
+        edge_mask: Array,  # [B, N, N]
+        node_pos: Optional[Array] = None,  # [B, N, 3]
+        deterministic: bool = True,
+    ):
+        cfg = self.module_cfg
+        lcfg = self.layer_cfg
+        s_dim, v_dim = self.node_dims
+
+        gcp_norm = GCPLayerNorm(lcfg.use_gcp_norm, name="gcp_norm_0")
+        if lcfg.pre_norm:
+            node_rep = gcp_norm(node_rep)
+
+        hidden_residual = GCPMessagePassing(
+            self.node_dims,
+            self.node_dims,
+            self.edge_dims,
+            module_cfg=cfg,
+            layer_cfg=lcfg,
+            use_scalar_message_attention=lcfg.use_scalar_message_attention,
+            name="interaction",
+        )(node_rep, edge_rep, edge_frames, edge_mask)
+
+        # concat aggregate with input, then feedforward stack back to node dims
+        hidden_residual = hidden_residual.concat(node_rep)
+
+        n_ff = lcfg.num_feedforward_layers
+        hidden_dims = (s_dim, v_dim) if n_ff == 1 else (4 * s_dim, 2 * v_dim)
+        ff_first = make_gcp(
+            cfg.selected_gcp,
+            (s_dim * 2, v_dim * 2),
+            hidden_dims,
+            cfg,
+            nonlinearities=(None, None) if n_ff == 1 else cfg.nonlinearities,
+            bottleneck=cfg.bottleneck,
+            vector_residual=False,
+            feedforward_out=(n_ff == 1),
+            name="feedforward_network_0",
+        )
+        ff_modules = [ff_first]
+        for i in range(n_ff - 2):
+            ff_modules.append(
+                make_gcp(
+                    cfg.selected_gcp,
+                    hidden_dims,
+                    hidden_dims,
+                    cfg,
+                    nonlinearities=cfg.nonlinearities,
+                    bottleneck=cfg.bottleneck,
+                    vector_residual=cfg.vector_residual,
+                    name=f"feedforward_network_{i + 1}",
+                )
+            )
+        if n_ff > 1:
+            ff_modules.append(
+                make_gcp(
+                    cfg.selected_gcp,
+                    hidden_dims,
+                    self.node_dims,
+                    cfg,
+                    nonlinearities=(None, None),
+                    bottleneck=cfg.bottleneck,
+                    vector_residual=False,
+                    feedforward_out=True,
+                    name=f"feedforward_network_{n_ff - 1}",
+                )
+            )
+
+        for module in ff_modules:
+            hidden_residual = module(hidden_residual, node_frames)
+
+        hidden_residual = GCPDropout(self.dropout, lcfg.use_gcp_dropout, name="gcp_dropout_0")(
+            hidden_residual, deterministic=deterministic
+        )
+        node_rep = node_rep + hidden_residual
+
+        if not lcfg.pre_norm:
+            node_rep = gcp_norm(node_rep)
+
+        node_rep = node_rep.mask(node_mask)
+
+        if not self.update_node_positions:
+            return node_rep
+
+        # position update via a dedicated single-vector-channel GCP
+        position_output_dims = (
+            self.node_dims if cfg.update_positions_with_vector_sum else (s_dim, 1)
+        )
+        pos_update_rep = make_gcp(
+            cfg.selected_gcp,
+            self.node_dims,
+            position_output_dims,
+            cfg,
+            nonlinearities=cfg.nonlinearities,
+            bottleneck=cfg.bottleneck,
+            vector_residual=False,
+            name="node_position_update_gcp",
+        )(node_rep, node_frames)
+        if cfg.update_positions_with_vector_sum:
+            x_update = jnp.sum(pos_update_rep.vector, axis=-2)
+        else:
+            x_update = pos_update_rep.vector[..., 0, :]
+        node_pos = node_pos + x_update * cfg.node_positions_weight
+        node_pos = node_pos * node_mask[..., None].astype(node_pos.dtype)
+        return node_rep, node_pos
+
+
+class GCPNetDynamics(nn.Module):
+    """eps-prediction denoiser: xh_t, t, (context) -> eps_hat.
+
+    Reference: GCPNetDynamics.atom_types_and_coords_forward
+    (gcpnet.py:933-1232).  Inputs/outputs are dense:
+
+      * xh:        ``[B, N, 3 + num_node_scalar_features]``
+      * t:         ``[B, 1]`` (normalized t in [0, 1]; broadcast per node)
+      * node_mask: ``[B, N]``
+      * context:   ``[B, N, num_context_features]`` or None
+      * xh_self_cond: optional ``[B, N, 3 + F]`` self-conditioning input
+
+    Returns ``net_out [B, N, 3 + F]`` where the position part is the
+    CoM-free velocity (x_out - x_in) and the scalar part is eps_h.
+    """
+
+    model_cfg: ModelConfig
+    module_cfg: ModuleConfig
+    layer_cfg: LayerConfig
+    diffusion_cfg: DiffusionConfig
+    dataloader_cfg: DataloaderConfig
+    remat_interactions: bool = True
+
+    @property
+    def num_x_dims(self) -> int:
+        return self.dataloader_cfg.num_x_dims
+
+    def _input_dims(self):
+        dl, dc, mc, mod = self.dataloader_cfg, self.diffusion_cfg, self.model_cfg, self.module_cfg
+        node_target = dc.diffusion_target in NODE_FEATURE_DIFFUSION_TARGETS
+        h_input_dim_ = (
+            compute_num_atom_types(dl) + int(dl.include_charges) if node_target else mc.h_input_dim
+        )
+        h_cond = int(dc.condition_on_time) + len(mod.conditioning)
+        h_in = h_input_dim_ * 2 if (dc.self_condition and node_target) else h_input_dim_
+        e_in = mc.e_input_dim * 2 if dc.self_condition else mc.e_input_dim
+        chi_in = mc.chi_input_dim * 2 if dc.self_condition else mc.chi_input_dim
+        xi_in = mc.xi_input_dim * 2 if dc.self_condition else mc.xi_input_dim
+        return h_input_dim_, h_cond, (h_in + h_cond, chi_in), (e_in, xi_in)
+
+    @nn.compact
+    def __call__(
+        self,
+        xh: Array,
+        t: Array,
+        node_mask: Array,
+        context: Optional[Array] = None,
+        xh_self_cond: Optional[Array] = None,
+        deterministic: bool = True,
+    ) -> Array:
+        mc, mod, lcfg, dc = self.model_cfg, self.module_cfg, self.layer_cfg, self.diffusion_cfg
+        nx = self.num_x_dims
+        h_input_dim_, h_cond_dim, node_input_dims, edge_input_dims = self._input_dims()
+        node_dims = (mc.h_hidden_dim, mc.chi_hidden_dim)
+        edge_dims = (mc.e_hidden_dim, mc.xi_hidden_dim)
+
+        mask_f = node_mask.astype(xh.dtype)
+        xh = xh * mask_f[..., None]
+        x_init = xh[..., :nx]
+        h_init = xh[..., nx:]
+
+        edge_mask = build_edge_mask(node_mask, include_self_loops=True).astype(xh.dtype)
+
+        # input featurization from the noisy coordinates
+        chi = orientations(x_init, node_mask)  # [B, N, 2, 3]
+        e_s, e_v = edge_features(x_init, edge_mask)  # [B,N,N,1], [B,N,N,1,3]
+        h = h_init
+
+        # self-conditioning: double every input feature block
+        if dc.self_condition:
+            if xh_self_cond is None:
+                xh_self_cond = jnp.zeros_like(xh)
+            x_sc = xh_self_cond[..., :nx]
+            h_sc = xh_self_cond[..., nx:]
+            chi_sc = orientations(x_sc, node_mask)
+            e_s_sc, e_v_sc = edge_features(x_sc, edge_mask)
+            h = jnp.concatenate([h, h_sc], axis=-1)
+            chi = jnp.concatenate([chi, chi_sc], axis=-2)
+            e_s = jnp.concatenate([e_s, e_s_sc], axis=-1)
+            e_v = jnp.concatenate([e_v, e_v_sc], axis=-2)
+
+        # time conditioning (broadcast scalar-per-graph to nodes)
+        if dc.condition_on_time:
+            n = xh.shape[-2]
+            h_time = jnp.broadcast_to(t[..., None, :], t.shape[:-1] + (n, 1)).astype(h.dtype)
+            h = jnp.concatenate([h, h_time], axis=-1)
+
+        # property-context conditioning
+        if len(mod.conditioning) > 0:
+            assert context is not None, "conditioning requires a context tensor"
+            h = jnp.concatenate([h, context.astype(h.dtype)], axis=-1)
+
+        # centralize positions and build complete local frames ONCE
+        _, x_cent = centralize(x_init, node_mask)
+        f_ij = localize(x_cent, edge_mask, norm_x_diff=mod.norm_x_diff)
+        f_node = node_mean_frames(f_ij, edge_mask)
+
+        node_rep, edge_rep = GCPEmbedding(
+            edge_input_dims=edge_input_dims,
+            node_input_dims=node_input_dims,
+            edge_hidden_dims=edge_dims,
+            node_hidden_dims=node_dims,
+            module_cfg=mod,
+            num_atom_types=0,
+            pre_norm=True,
+            use_gcp_norm=lcfg.use_gcp_norm,
+            name="gcp_embedding",
+        )(ScalarVector(h, chi), ScalarVector(e_s, e_v), f_ij, f_node)
+
+        x = x_cent
+        layer_cls = GCPInteractions
+        if self.remat_interactions:
+            layer_cls = nn.remat(GCPInteractions, static_argnums=(8,))
+        for i in range(mc.num_encoder_layers):
+            node_rep, x = layer_cls(
+                node_dims,
+                edge_dims,
+                module_cfg=mod,
+                layer_cfg=lcfg,
+                dropout=mc.dropout,
+                update_node_positions=True,
+                name=f"interaction_layers_{i}",
+            )(node_rep, edge_rep, f_ij, f_node, node_mask, edge_mask, x, deterministic)
+
+        # project scalar features back to (unconditioned-input + conditioning) dims
+        h_proj_dim = h_input_dim_ + h_cond_dim
+        h_out = make_gcp(
+            mod.selected_gcp,
+            node_dims,
+            (h_proj_dim, 0),
+            mod,
+            nonlinearities=(None, None),
+            name="scalar_node_projection_gcp",
+        )(node_rep, f_node)
+
+        vel = (x - x_init) * mask_f[..., None]
+
+        # strip conditioning channels from the scalar output
+        if len(mod.conditioning) > 0:
+            h_out = h_out[..., : h_out.shape[-1] - len(mod.conditioning)]
+        if dc.condition_on_time:
+            h_out = h_out[..., :-1]
+
+        # NaN guard: zero the velocity if any entry is non-finite
+        # (reference gcpnet.py:1214-1216 zeroes the whole tensor)
+        vel_ok = jnp.all(jnp.isfinite(vel))
+        vel = jnp.where(vel_ok, vel, jnp.zeros_like(vel))
+
+        # project velocity to zero center of gravity
+        _, vel = centralize(vel, node_mask)
+
+        return jnp.concatenate([vel, h_out], axis=-1)
