@@ -1,0 +1,100 @@
+"""Headline benchmark: QM9 unconditional reverse-diffusion sampling throughput.
+
+Reference baseline (BASELINE.md): 250 molecules x 1000 denoise steps of
+19-atom molecules in ~5 min on one CUDA GPU == ~833 denoiser evals/s
+(evals = molecules x steps / seconds).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/833}
+
+Env knobs:
+  BENCH_STEPS (default 1000), BENCH_BATCH (default 250), BENCH_NODES (19),
+  BENCH_PRECISION (f32|bf16, default bf16), BENCH_REPEATS (default 1).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_EVALS_PER_S = 833.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    steps = int(os.environ.get("BENCH_STEPS", 1000))
+    batch = int(os.environ.get("BENCH_BATCH", 250))
+    nodes = int(os.environ.get("BENCH_NODES", 19))
+    precision = os.environ.get("BENCH_PRECISION", "bf16")
+    repeats = int(os.environ.get("BENCH_REPEATS", 1))
+
+    if precision == "bf16":
+        jax.config.update("jax_default_matmul_precision", "bfloat16")
+
+    from bio_diffusion_tpu.config.schema import (
+        DataloaderConfig, DiffusionConfig, LayerConfig, ModelConfig, ModuleConfig,
+    )
+    from bio_diffusion_tpu.models.diffusion import EquivariantVariationalDiffusion
+    from bio_diffusion_tpu.models.gcpnet import GCPNetDynamics
+
+    dc = DiffusionConfig(num_timesteps=steps)
+    dl = DataloaderConfig()
+    net = GCPNetDynamics(
+        ModelConfig(), ModuleConfig(), LayerConfig(), dc, dl, remat_interactions=False
+    )
+    evd = EquivariantVariationalDiffusion(dynamics=net, diffusion_cfg=dc, dataloader_cfg=dl)
+
+    key = jax.random.PRNGKey(0)
+    node_mask = jnp.ones((batch, nodes), dtype=jnp.float32)
+
+    # init params with a tiny dummy call (loss path) to build the full tree
+    import numpy as _np
+    from bio_diffusion_tpu.ops.geometry import centralize
+    x0 = jax.random.normal(key, (2, nodes, 3))
+    _, x0 = centralize(x0, jnp.ones((2, nodes)))
+    oh0 = jax.nn.one_hot(jnp.zeros((2, nodes), jnp.int32), 5)
+    ch0 = jnp.ones((2, nodes, 1))
+    params = evd.init(key, x0, oh0, ch0, jnp.ones((2, nodes)), key, training=False)
+
+    from bio_diffusion_tpu.train.sampling import SegmentedSampler
+
+    segment = int(os.environ.get("BENCH_SEGMENT", 250))
+    sampler = SegmentedSampler(evd, params, segment_size=segment)
+
+    # compile + first run; NOTE: SegmentedSampler.run returns a host array,
+    # which forces completion (the axon remote PJRT plugin's
+    # block_until_ready can return early)
+    t0 = time.time()
+    sampler.run(jax.random.PRNGKey(1), node_mask, num_timesteps=steps)
+    compile_and_first = time.time() - t0
+
+    times = []
+    for i in range(repeats):
+        t0 = time.time()
+        xh = sampler.run(jax.random.PRNGKey(2 + i), node_mask, num_timesteps=steps)
+        times.append(time.time() - t0)
+
+    elapsed = min(times)
+    evals_per_s = batch * steps / elapsed
+    result = {
+        "metric": "qm9_uncond_sampling_denoiser_evals_per_s",
+        "value": round(evals_per_s, 2),
+        "unit": "denoiser evals/s (batch x steps / s; batch=%d, steps=%d, %d atoms, %s)"
+        % (batch, steps, nodes, precision),
+        "vs_baseline": round(evals_per_s / BASELINE_EVALS_PER_S, 3),
+    }
+    print(json.dumps(result))
+    # extra diagnostics on stderr-ish (second line is ignored by the driver)
+    import sys
+    print(
+        f"# first(run+compile)={compile_and_first:.1f}s steady={elapsed:.2f}s "
+        f"mols/s={batch / elapsed:.2f} device={jax.devices()[0]}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -571,6 +571,70 @@ class EquivariantVariationalDiffusion(nn.Module):
         charges = jnp.round(h_int) * m if self.include_charges else jnp.zeros_like(h_int)
         return x, one_hot, charges
 
+    def init_sample_noise(self, key: Array, node_mask: Array, fix_noise: bool = False) -> Array:
+        """z_T ~ p(z_T): the sampling prior (CoM-free x, iid h)."""
+        return self.sample_noise(key, node_mask, fix_noise=fix_noise)
+
+    def reverse_segment(
+        self,
+        z: Array,
+        self_cond: Optional[Array],
+        key: Array,
+        s_norm_values: Array,  # [K] already-normalized s values (s/denom)
+        t_norm_values: Array,  # [K] already-normalized t values ((s+1)/denom)
+        node_mask: Array,
+        context: Optional[Array] = None,
+        fix_noise: bool = False,
+        fix_self_conditioning_noise: bool = False,
+    ):
+        """Scan a CHUNK of reverse steps; chunking keeps each XLA execution
+        short (friendlier to preemption/remote runtimes) and lets the host
+        stream progress.  Returns the updated (z, self_cond, key) carry."""
+        dc = self.diffusion_cfg
+        b = node_mask.shape[0]
+
+        def step(carry, sv):
+            z, self_cond, key = carry
+            s_val, t_val = sv
+            key, k1, k2 = jax.random.split(key, 3)
+            s_arr = jnp.full((b, 1), s_val, dtype=z.dtype)
+            t_arr = jnp.full((b, 1), t_val, dtype=z.dtype)
+            z = self.sample_p_zs_given_zt(
+                s=s_arr, t=t_arr, z=z, node_mask=node_mask, key=k1,
+                context=context, fix_noise=fix_noise, xh_self_cond=self_cond,
+            )
+            if dc.self_condition:
+                self_cond = self.sample_p_zs_given_zt(
+                    s=jnp.zeros_like(s_arr), t=s_arr, z=z, node_mask=node_mask,
+                    key=k2, context=context, fix_noise=fix_self_conditioning_noise,
+                )
+                self_cond = jax.lax.stop_gradient(self_cond)
+            return (z, self_cond, key), None
+
+        (z, self_cond, key), _ = jax.lax.scan(
+            step, (z, self_cond, key), (s_norm_values, t_norm_values)
+        )
+        return z, self_cond, key
+
+    def decode_sample(
+        self,
+        z: Array,
+        self_cond: Optional[Array],
+        key: Array,
+        node_mask: Array,
+        context: Optional[Array] = None,
+        fix_noise: bool = False,
+    ) -> Array:
+        """Final p(x, h | z_0) decode + CoM projection -> data-scale xh."""
+        x, one_hot, charges = self.sample_p_xh_given_z0(
+            z_0=z, node_mask=node_mask, key=key, context=context,
+            fix_noise=fix_noise, xh_self_cond=self_cond,
+        )
+        _, x = centralize(x, node_mask)
+        if self.include_charges:
+            return jnp.concatenate([x, one_hot, charges], axis=-1)
+        return jnp.concatenate([x, one_hot], axis=-1)
+
     def mol_gen_sample(
         self,
         key: Array,

@@ -128,21 +128,36 @@ class GCPMessagePassing(nn.Module):
         mp_cfg = self.layer_cfg.mp_cfg
         s_out, v_out = self.output_dims
 
-        # assemble per-edge messages: (node_i, edge_ij, node_j)
-        s, v = node_rep
-        s_i = jnp.broadcast_to(s[..., :, None, :], s.shape[:-2] + (s.shape[-2], s.shape[-2], s.shape[-1]))
-        s_j = jnp.broadcast_to(s[..., None, :, :], s_i.shape)
-        v_i = jnp.broadcast_to(
-            v[..., :, None, :, :], v.shape[:-3] + (v.shape[-3], v.shape[-3]) + v.shape[-2:]
-        )
-        v_j = jnp.broadcast_to(v[..., None, :, :, :], v_i.shape)
-        message = ScalarVector(
-            jnp.concatenate([s_i, edge_rep.scalar, s_j], axis=-1),
-            jnp.concatenate([v_i, edge_rep.vector, v_j], axis=-2),
-        )
-
         scalars_in = 2 * self.input_dims[0] + self.edge_dims[0]
         vectors_in = 2 * self.input_dims[1] + self.edge_dims[1]
+
+        # fast path: split-weight fused first message GCP (identical params &
+        # math; avoids materializing the big per-edge concat — see gcp_fused.py)
+        use_fused = (
+            cfg.selected_gcp.lower() == "gcp2"
+            and not cfg.frame_gate
+            and not cfg.ablate_frame_updates
+            and not cfg.ablate_scalars
+            and not cfg.ablate_vectors
+            and not cfg.default_vector_residual
+        )
+
+        message = None
+        if not use_fused:
+            # assemble per-edge messages: (node_i, edge_ij, node_j)
+            s, v = node_rep
+            s_i = jnp.broadcast_to(
+                s[..., :, None, :], s.shape[:-2] + (s.shape[-2], s.shape[-2], s.shape[-1])
+            )
+            s_j = jnp.broadcast_to(s[..., None, :, :], s_i.shape)
+            v_i = jnp.broadcast_to(
+                v[..., :, None, :, :], v.shape[:-3] + (v.shape[-3], v.shape[-3]) + v.shape[-2:]
+            )
+            v_j = jnp.broadcast_to(v[..., None, :, :, :], v_i.shape)
+            message = ScalarVector(
+                jnp.concatenate([s_i, edge_rep.scalar, s_j], axis=-1),
+                jnp.concatenate([v_i, edge_rep.vector, v_j], axis=-2),
+            )
 
         def primary(idx: int, in_dims):
             return make_gcp(
@@ -168,18 +183,35 @@ class GCPMessagePassing(nn.Module):
                 name=f"message_fusion_{idx}",
             )
 
-        modules = [primary(0, (scalars_in, vectors_in))]
+        if use_fused:
+            from bio_diffusion_tpu.models.gcp_fused import GCP2FusedEdgeMessage
+
+            first = GCP2FusedEdgeMessage(
+                node_dims=tuple(self.input_dims),
+                edge_dims=tuple(self.edge_dims),
+                output_dims=tuple(self.output_dims),
+                nonlinearities=cfg.nonlinearities,
+                vector_gate=cfg.vector_gate,
+                bottleneck=cfg.default_bottleneck,
+                name="message_fusion_0",
+            )
+            first_out = first(node_rep, edge_rep, edge_frames)
+        else:
+            first = primary(0, (scalars_in, vectors_in))
+            first_out = None  # evaluated below on the materialized concat
+
+        modules = []
         for i in range(mp_cfg.num_message_layers - 2):
             modules.append(secondary(i + 1))
         if mp_cfg.num_message_layers > 1:
             modules.append(primary(mp_cfg.num_message_layers - 1, self.output_dims))
 
         if mp_cfg.use_residual_message_gcp:
-            residual = modules[0](message, edge_frames)
-            for module in modules[1:]:
+            residual = first_out if first_out is not None else first(message, edge_frames)
+            for module in modules:
                 residual = residual + module(residual, edge_frames)
         else:
-            residual = message
+            residual = first_out if first_out is not None else first(message, edge_frames)
             for module in modules:
                 residual = module(residual, edge_frames)
 

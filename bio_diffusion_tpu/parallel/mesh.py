@@ -1,0 +1,75 @@
+"""Mesh + sharding layer: the TPU-native replacement for Lightning DDP/NCCL.
+
+The reference's only distribution strategy is data parallelism with NCCL
+all-reduce (SURVEY.md §2.2).  Here:
+
+  * ``data`` mesh axis: batch sharding; gradient reduction happens via XLA's
+    automatic collectives (psum over ICI) when the loss averages over the
+    globally-sharded batch under jit.
+  * ``model`` mesh axis: optional FSDP-style parameter sharding — parameter
+    leaves whose largest dim divides the axis size are sharded there; the
+    rest replicate.  For GCDM's ~10M-param denoiser this is about memory
+    headroom at large batch, not necessity.
+
+Everything uses ``jax.sharding`` NamedSharding under ``jax.jit`` — no
+hand-written collectives; XLA inserts psum/all-gather/reduce-scatter.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    num_devices: Optional[int] = None,
+    data: Optional[int] = None,
+    model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    n = len(devices)
+    if data is None:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis; replicate the rest."""
+    return NamedSharding(mesh, P("data"))
+
+
+def param_sharding_rules(params, mesh: Mesh) -> object:
+    """FSDP-style parameter shardings: shard the largest dim of each leaf
+    over the 'model' axis when divisible, else replicate."""
+    model_size = mesh.shape["model"]
+
+    def rule(leaf):
+        if model_size == 1 or not hasattr(leaf, "shape") or leaf.ndim == 0:
+            return NamedSharding(mesh, P())
+        dims = list(leaf.shape)
+        # shard the largest divisible dim
+        order = sorted(range(len(dims)), key=lambda i: -dims[i])
+        for i in order:
+            if dims[i] % model_size == 0 and dims[i] >= model_size:
+                spec = [None] * len(dims)
+                spec[i] = "model"
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, params)
+
+
+def shard_pytree(tree, shardings):
+    """Device-put a pytree with per-leaf shardings."""
+    return jax.tree.map(lambda x, s: jax.device_put(x, s), tree, shardings)

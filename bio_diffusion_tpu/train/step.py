@@ -1,0 +1,117 @@
+"""Jitted train/eval steps: loss -> grad -> clip -> AMSGrad -> EMA.
+
+The single-step counterpart of the reference's Lightning training_step +
+configure_gradient_clipping + EMA callback, fused into one jit (and sharded
+over the mesh by the caller's in_shardings).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from bio_diffusion_tpu.config.schema import (
+    DataloaderConfig,
+    DiffusionConfig,
+    compute_num_atom_types,
+)
+from bio_diffusion_tpu.data.batch import DenseMolBatch
+from bio_diffusion_tpu.models.diffusion import assemble_nll
+from bio_diffusion_tpu.ops.geometry import centralize
+from bio_diffusion_tpu.train.state import TrainState, adaptive_clip, ema_update
+
+
+def make_loss_fn(
+    evd_module,
+    diffusion_cfg: DiffusionConfig,
+    dataloader_cfg: DataloaderConfig,
+    log_pN_table: np.ndarray,
+    training: bool,
+) -> Callable:
+    """Per-batch scalar loss + info dict."""
+    T = diffusion_cfg.num_timesteps
+    num_atom_types = compute_num_atom_types(dataloader_cfg)
+    nsf = num_atom_types + int(dataloader_cfg.include_charges)
+    table = jnp.asarray(log_pN_table, dtype=jnp.float32)
+
+    def loss_fn(params, batch: DenseMolBatch, rng):
+        _, x = centralize(batch.x, batch.node_mask)
+        terms = evd_module.apply(
+            params, x, batch.one_hot, batch.charges, batch.node_mask, rng,
+            training=training, context=batch.context,
+        )
+        num_nodes = jnp.sum(batch.node_mask, axis=-1).astype(jnp.int32)
+        log_pN = table[jnp.clip(num_nodes, 0, table.shape[0] - 1)]
+        nll, info = assemble_nll(
+            terms,
+            loss_type=diffusion_cfg.loss_type,
+            training=training,
+            T=T,
+            num_x_dims=dataloader_cfg.num_x_dims,
+            num_node_scalar_features=nsf,
+            log_pN=log_pN,
+            norm_training_by_max_nodes=diffusion_cfg.norm_training_by_max_nodes,
+        )
+        return jnp.mean(nll), info
+
+    return loss_fn
+
+
+def make_train_step(
+    evd_module,
+    optimizer: optax.GradientTransformation,
+    diffusion_cfg: DiffusionConfig,
+    dataloader_cfg: DataloaderConfig,
+    log_pN_table: np.ndarray,
+    ema_decay: float = 0.9999,
+    clip_gradients: bool = True,
+    donate: bool = True,
+) -> Callable[[TrainState, DenseMolBatch, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
+    """Build the jitted train step.
+
+    The returned function is pure: (state, batch, rng) -> (state', metrics).
+    Under a mesh, shard the batch on the 'data' axis and XLA inserts the
+    gradient all-reduce automatically (the loss is a global-batch mean).
+    """
+    loss_fn = make_loss_fn(evd_module, diffusion_cfg, dataloader_cfg, log_pN_table, training=True)
+
+    def train_step(state: TrainState, batch: DenseMolBatch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, info), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch, rng)
+        grads, state, grad_norm, max_norm = adaptive_clip(state, grads, enabled=clip_gradients)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = ema_update(state.ema_params, params, ema_decay)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema_params,
+        )
+        metrics = dict(info)
+        metrics["grad_norm"] = grad_norm
+        metrics["max_grad_norm"] = max_norm
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(
+    evd_module,
+    diffusion_cfg: DiffusionConfig,
+    dataloader_cfg: DataloaderConfig,
+    log_pN_table: np.ndarray,
+) -> Callable:
+    """Jitted eval step computing the NLL on (typically EMA) params."""
+    loss_fn = make_loss_fn(evd_module, diffusion_cfg, dataloader_cfg, log_pN_table, training=False)
+
+    def eval_step(params, batch: DenseMolBatch, rng):
+        loss, info = loss_fn(params, batch, rng)
+        return info
+
+    return jax.jit(eval_step)
