@@ -43,7 +43,8 @@ def main():
     dc = DiffusionConfig(num_timesteps=steps)
     dl = DataloaderConfig()
     net = GCPNetDynamics(
-        ModelConfig(), ModuleConfig(), LayerConfig(), dc, dl, remat_interactions=False
+        ModelConfig(), ModuleConfig(), LayerConfig(), dc, dl, remat_interactions=False,
+        compute_dtype="bfloat16" if precision == "bf16" else None,
     )
     evd = EquivariantVariationalDiffusion(dynamics=net, diffusion_cfg=dc, dataloader_cfg=dl)
 

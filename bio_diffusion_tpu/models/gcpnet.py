@@ -374,6 +374,10 @@ class GCPNetDynamics(nn.Module):
     diffusion_cfg: DiffusionConfig
     dataloader_cfg: DataloaderConfig
     remat_interactions: bool = True
+    # 'bfloat16' runs the network body (embedding/messages/updates) in bf16
+    # while keeping geometry construction (frames, CoM) and the returned
+    # eps-hat in f32 — the TPU-native inference/training precision mode.
+    compute_dtype: Optional[str] = None
 
     @property
     def num_x_dims(self) -> int:
@@ -444,10 +448,17 @@ class GCPNetDynamics(nn.Module):
             assert context is not None, "conditioning requires a context tensor"
             h = jnp.concatenate([h, context.astype(h.dtype)], axis=-1)
 
-        # centralize positions and build complete local frames ONCE
+        # centralize positions and build complete local frames ONCE (f32)
         _, x_cent = centralize(x_init, node_mask)
         f_ij = localize(x_cent, edge_mask, norm_x_diff=mod.norm_x_diff)
         f_node = node_mean_frames(f_ij, edge_mask)
+
+        cdt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        if cdt is not None:
+            h, chi, e_s, e_v = (a.astype(cdt) for a in (h, chi, e_s, e_v))
+            f_ij_c, f_node_c = f_ij.astype(cdt), f_node.astype(cdt)
+        else:
+            f_ij_c, f_node_c = f_ij, f_node
 
         node_rep, edge_rep = GCPEmbedding(
             edge_input_dims=edge_input_dims,
@@ -459,7 +470,7 @@ class GCPNetDynamics(nn.Module):
             pre_norm=True,
             use_gcp_norm=lcfg.use_gcp_norm,
             name="gcp_embedding",
-        )(ScalarVector(h, chi), ScalarVector(e_s, e_v), f_ij, f_node)
+        )(ScalarVector(h, chi), ScalarVector(e_s, e_v), f_ij_c, f_node_c)
 
         x = x_cent
         layer_cls = GCPInteractions
@@ -474,7 +485,7 @@ class GCPNetDynamics(nn.Module):
                 dropout=mc.dropout,
                 update_node_positions=True,
                 name=f"interaction_layers_{i}",
-            )(node_rep, edge_rep, f_ij, f_node, node_mask, edge_mask, x, deterministic)
+            )(node_rep, edge_rep, f_ij_c, f_node_c, node_mask, edge_mask, x, deterministic)
 
         # project scalar features back to (unconditioned-input + conditioning) dims
         h_proj_dim = h_input_dim_ + h_cond_dim
@@ -485,7 +496,7 @@ class GCPNetDynamics(nn.Module):
             mod,
             nonlinearities=(None, None),
             name="scalar_node_projection_gcp",
-        )(node_rep, f_node)
+        )(node_rep, f_node_c)
 
         vel = (x - x_init) * mask_f[..., None]
 
