@@ -1,0 +1,104 @@
+"""Evaluation entry point (counterpart of reference src/mol_gen_eval.py).
+
+Samples ``num_samples`` molecules, reports stability/validity/uniqueness/
+novelty + atom-type KL, and (optionally) the test NLL averaged over
+``num_test_passes`` passes.
+
+Usage:
+  python -m bio_diffusion_tpu.cli.mol_gen_eval ckpt_path=... num_samples=10000
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import jax
+import numpy as np
+
+from bio_diffusion_tpu.cli.common import load_model, nodes_distribution_for, parse_cli
+from bio_diffusion_tpu.config.build import build_datasets, build_experiment, get_dataset_info_for
+from bio_diffusion_tpu.train.sampling import SegmentedSampler, analyze_samples, sample_molecules
+from bio_diffusion_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def main(argv=None):
+    cfg, flags = parse_cli(list(sys.argv[1:] if argv is None else argv), "mol_gen_eval")
+    exp = build_experiment(cfg)
+    dataset_info = get_dataset_info_for(exp)
+    nodes_dist = nodes_distribution_for(exp)
+
+    evd, params = load_model(exp, cfg.get("ckpt_path"))
+    sampler = SegmentedSampler(evd, params)
+    rng = np.random.default_rng(exp.seed)
+    key = jax.random.PRNGKey(exp.seed)
+
+    num_samples = int(cfg.get("num_samples", 10000))
+    batch_size = int(cfg.get("sampling_batch_size", 100))
+    num_timesteps = cfg.get("num_timesteps")
+    num_timesteps = int(num_timesteps) if num_timesteps else None
+
+    xh, node_mask, _ = sample_molecules(
+        sampler, key, num_samples, nodes_dist, rng,
+        batch_size=batch_size, num_timesteps=num_timesteps,
+    )
+
+    # optional RDKit metrics with training-set SMILES for novelty
+    molecular_metrics = None
+    from bio_diffusion_tpu.chem.molecule import RDKIT_AVAILABLE
+
+    if RDKIT_AVAILABLE:
+        from bio_diffusion_tpu.chem.rdkit_bridge import BasicMolecularMetrics
+
+        smiles = None
+        smiles_path = exp.dataloader_cfg.smiles_filepath
+        if smiles_path and os.path.exists(str(smiles_path)):
+            smiles = np.load(smiles_path, allow_pickle=True)
+        molecular_metrics = BasicMolecularMetrics(dataset_info, dataset_smiles_list=smiles)
+
+    metrics = analyze_samples(
+        xh, node_mask, dataset_info,
+        include_charges=exp.dataloader_cfg.include_charges,
+        molecular_metrics=molecular_metrics,
+    )
+
+    # test NLL over multiple passes (reference mol_gen_eval.py:172-186)
+    if cfg.get("evaluate_nll", True):
+        try:
+            datasets = build_datasets(exp)
+            from bio_diffusion_tpu.data.batch import iterate_dense_batches
+            from bio_diffusion_tpu.train.step import make_eval_step
+
+            eval_step = make_eval_step(
+                evd, exp.diffusion_cfg, exp.dataloader_cfg, nodes_dist.log_prob_table
+            )
+            passes = []
+            for p in range(int(cfg.get("num_test_passes", 5))):
+                losses = []
+                for i, batch in enumerate(iterate_dense_batches(
+                    datasets["test"], exp.dataloader_cfg.batch_size,
+                    rng=rng, shuffle=False, drop_last=False,
+                    pad_to=datasets["test"].data["positions"].shape[1],
+                )):
+                    info = eval_step(params, batch, jax.random.fold_in(key, p * 10000 + i))
+                    losses.append(float(np.asarray(info["loss"])))
+                passes.append(float(np.mean(losses)))
+            metrics["test_nll"] = float(np.mean(passes))
+            metrics["test_nll_passes"] = passes
+        except (RuntimeError, FileNotFoundError) as e:
+            log.warning(f"Skipping NLL evaluation (dataset unavailable): {e}")
+
+    out_dir = str(cfg.get("output_dir", "outputs/mol_gen_eval"))
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "eval_results.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    log.info(f"Evaluation metrics: {metrics}")
+    print(json.dumps(metrics))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""Training entry point (counterpart of reference src/train.py).
+
+Usage:
+  python -m bio_diffusion_tpu.cli.train experiment=qm9_mol_gen_ddpm [k=v ...]
+
+Overrides use the reference's Hydra syntax subset: group selections
+(``experiment=...``, ``trainer=...``) and dotted leaves
+(``model.diffusion_cfg.num_timesteps=100``).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from bio_diffusion_tpu.config.build import build_experiment
+from bio_diffusion_tpu.config.loader import default_config_dir, load_config
+from bio_diffusion_tpu.train.loop import Trainer
+from bio_diffusion_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    config_dir = default_config_dir()
+    # pull out special flags
+    config_name = "train"
+    overrides = []
+    workdir = None
+    max_epochs = None
+    max_steps = None
+    for arg in argv:
+        if arg.startswith("--config-dir="):
+            config_dir = arg.split("=", 1)[1]
+        elif arg.startswith("--config-name="):
+            config_name = arg.split("=", 1)[1]
+        elif arg.startswith("--workdir="):
+            workdir = arg.split("=", 1)[1]
+        elif arg.startswith("--max-epochs="):
+            max_epochs = int(arg.split("=", 1)[1])
+        elif arg.startswith("--max-steps="):
+            max_steps = int(arg.split("=", 1)[1])
+        else:
+            overrides.append(arg)
+
+    cfg = load_config(config_dir, config_name, overrides)
+    exp = build_experiment(cfg)
+    if workdir is None:
+        workdir = (cfg.get("paths") or {}).get("output_dir") or "outputs/train"
+
+    log.info(f"Experiment: dataset={exp.dataloader_cfg.dataset}, "
+             f"network={exp.diffusion_cfg.dynamics_network}, "
+             f"layers={exp.model_cfg.num_encoder_layers}, workdir={workdir}")
+
+    trainer = Trainer(exp, workdir)
+    trainer.fit(max_epochs=max_epochs, max_steps=max_steps)
+
+    if cfg.get("test"):
+        metrics = trainer.validate(epoch=-1, split="test")
+        log.info(f"test metrics: {metrics}")
+
+
+if __name__ == "__main__":
+    main()

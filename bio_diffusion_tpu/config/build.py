@@ -1,0 +1,145 @@
+"""Build model/data objects from a composed config dict."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from bio_diffusion_tpu.config.schema import (
+    DataloaderConfig,
+    DiffusionConfig,
+    LayerConfig,
+    ModelConfig,
+    ModuleConfig,
+    MPConfig,
+    OptimizerConfig,
+    TrainerConfig,
+    from_dict,
+)
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    model_cfg: ModelConfig
+    module_cfg: ModuleConfig
+    layer_cfg: LayerConfig
+    diffusion_cfg: DiffusionConfig
+    dataloader_cfg: DataloaderConfig
+    optimizer: OptimizerConfig
+    trainer: TrainerConfig
+    raw: Dict[str, Any]
+
+    @property
+    def seed(self) -> int:
+        return int(self.raw.get("seed", 42))
+
+
+def build_experiment(cfg: Dict[str, Any]) -> ExperimentConfig:
+    model = cfg.get("model", {})
+    layer_raw = dict(model.get("layer_cfg", {}))
+    mp_raw = layer_raw.pop("mp_cfg", {})
+    layer = from_dict(LayerConfig, layer_raw)
+    layer.mp_cfg = from_dict(MPConfig, mp_raw)
+    trainer_raw = dict(cfg.get("trainer", {}))
+    precision = str(trainer_raw.get("precision", "fp32"))
+    trainer = from_dict(TrainerConfig, trainer_raw)
+    trainer.precision = precision
+    return ExperimentConfig(
+        model_cfg=from_dict(ModelConfig, model.get("model_cfg", {})),
+        module_cfg=from_dict(ModuleConfig, model.get("module_cfg", {})),
+        layer_cfg=layer,
+        diffusion_cfg=from_dict(DiffusionConfig, model.get("diffusion_cfg", {})),
+        dataloader_cfg=from_dict(DataloaderConfig, cfg.get("datamodule", {}).get("dataloader_cfg", {})),
+        optimizer=from_dict(OptimizerConfig, model.get("optimizer", {})),
+        trainer=trainer,
+        raw=cfg,
+    )
+
+
+def build_dynamics(exp: ExperimentConfig, remat: bool = True):
+    """Instantiate the configured denoiser (gcpnet or egnn)."""
+    compute_dtype = "bfloat16" if exp.trainer.precision in ("bf16", "bfloat16") else None
+    net_name = exp.diffusion_cfg.dynamics_network
+    if net_name == "gcpnet":
+        from bio_diffusion_tpu.models.gcpnet import GCPNetDynamics
+
+        return GCPNetDynamics(
+            model_cfg=exp.model_cfg,
+            module_cfg=exp.module_cfg,
+            layer_cfg=exp.layer_cfg,
+            diffusion_cfg=exp.diffusion_cfg,
+            dataloader_cfg=exp.dataloader_cfg,
+            remat_interactions=remat,
+            compute_dtype=compute_dtype,
+        )
+    if net_name == "egnn":
+        from bio_diffusion_tpu.models.egnn import EGNNDynamics
+
+        return EGNNDynamics(
+            model_cfg=exp.model_cfg,
+            module_cfg=exp.module_cfg,
+            layer_cfg=exp.layer_cfg,
+            diffusion_cfg=exp.diffusion_cfg,
+            dataloader_cfg=exp.dataloader_cfg,
+            compute_dtype=compute_dtype,
+        )
+    raise ValueError(f"Unknown dynamics network {net_name}")
+
+
+def build_evd(exp: ExperimentConfig, remat: bool = True):
+    from bio_diffusion_tpu.models.diffusion import EquivariantVariationalDiffusion
+
+    return EquivariantVariationalDiffusion(
+        dynamics=build_dynamics(exp, remat=remat),
+        diffusion_cfg=exp.diffusion_cfg,
+        dataloader_cfg=exp.dataloader_cfg,
+    )
+
+
+def get_dataset_info_for(exp: ExperimentConfig) -> Dict[str, Any]:
+    from bio_diffusion_tpu.data.dataset_info import get_dataset_info
+
+    dl = exp.dataloader_cfg
+    name = "QM9_second_half" if dl.dataset == "QM9_second_half" else (
+        "GEOM" if "GEOM" in dl.dataset else "QM9"
+    )
+    return get_dataset_info(name, dl.remove_h)
+
+
+def build_datasets(exp: ExperimentConfig) -> Dict[str, Any]:
+    """Load train/valid/test DenseDatasets for the configured dataset.
+
+    ``dataset: synthetic`` provides the hermetic offline stand-in.
+    """
+    dl = exp.dataloader_cfg
+    if dl.dataset == "synthetic":
+        from bio_diffusion_tpu.data.synthetic import synthetic_qm9_like
+
+        return {
+            "train": synthetic_qm9_like(512, seed=exp.seed),
+            "valid": synthetic_qm9_like(128, seed=exp.seed + 1),
+            "test": synthetic_qm9_like(128, seed=exp.seed + 2),
+        }
+    if "QM9" in dl.dataset:
+        from bio_diffusion_tpu.data.qm9 import load_qm9_datasets
+
+        num_pts = {"train": dl.num_train, "valid": dl.num_valid, "test": dl.num_test}
+        return load_qm9_datasets(
+            dl.data_dir,
+            dataset=dl.dataset,
+            remove_h=dl.remove_h,
+            subtract_thermo=dl.subtract_thermo,
+            num_pts=num_pts,
+            force_download=dl.force_download,
+        )
+    if "GEOM" in dl.dataset:
+        from bio_diffusion_tpu.data.geom import load_geom_datasets
+
+        return load_geom_datasets(
+            dl.data_dir,
+            remove_h=dl.remove_h,
+            filter_size=dl.filter_molecule_size,
+        )
+    raise ValueError(f"Unknown dataset {dl.dataset}")

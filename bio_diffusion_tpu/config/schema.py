@@ -192,11 +192,28 @@ def to_dict(cfg: Any) -> Dict[str, Any]:
     return _to_dict(cfg)
 
 
+def _coerce(value: Any, reference: Any) -> Any:
+    """Coerce YAML-parsed values to the field's default type (YAML 1.1 reads
+    '1e-4' as a string; bools/ints similarly need care)."""
+    if value is None or reference is None:
+        return value
+    if isinstance(reference, bool):
+        if isinstance(value, str):
+            return value.strip().lower() in ("1", "true", "yes", "on")
+        return bool(value)
+    if isinstance(reference, float) and isinstance(value, (str, int)):
+        return float(value)
+    if isinstance(reference, int) and isinstance(value, (str, float)) and not isinstance(value, bool):
+        return int(float(value))
+    return value
+
+
 def from_dict(cls, data: Dict[str, Any]):
     """Build a (possibly nested) dataclass from a plain dict, ignoring
     unknown keys (forward/backward config compatibility)."""
     if data is None:
         return cls()
+    defaults = cls()
     kwargs = {}
     for f in dataclasses.fields(cls):
         if f.name not in data:
@@ -207,7 +224,11 @@ def from_dict(cls, data: Dict[str, Any]):
         elif f.name == "mp_cfg":
             kwargs[f.name] = from_dict(MPConfig, value)
         elif isinstance(value, list):
-            kwargs[f.name] = tuple(value)
+            ref_item = None
+            ref = getattr(defaults, f.name)
+            if isinstance(ref, (list, tuple)) and len(ref) > 0:
+                ref_item = ref[0]
+            kwargs[f.name] = tuple(_coerce(v, ref_item) for v in value)
         else:
-            kwargs[f.name] = value
+            kwargs[f.name] = _coerce(value, getattr(defaults, f.name))
     return cls(**kwargs)

@@ -1,0 +1,254 @@
+"""The training loop: epochs, validation, EMA-weight eval, sampling eval,
+checkpointing, halt files.
+
+Counterpart of the reference's Lightning Trainer + QM9/GEOM task modules
+(qm9_mol_gen_ddpm.py / geom_mol_gen_ddpm.py orchestration): per-epoch train
++ NLL validation on EMA weights (the EMA callback swaps weights for eval),
+rank-zero sampling evaluation every ``eval_epochs``, periodic checkpoints,
+and a ``<run>.done`` halt file on fit end for grid-search monitors.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bio_diffusion_tpu.config.build import (
+    ExperimentConfig,
+    build_evd,
+    build_datasets,
+    get_dataset_info_for,
+)
+from bio_diffusion_tpu.data.batch import iterate_dense_batches
+from bio_diffusion_tpu.models.distributions import (
+    NumNodesDistribution,
+    PropertiesDistribution,
+    compute_mean_mad,
+)
+from bio_diffusion_tpu.train.checkpoints import latest_step, restore_checkpoint, save_checkpoint
+from bio_diffusion_tpu.train.sampling import SegmentedSampler, analyze_samples, sample_molecules
+from bio_diffusion_tpu.train.state import create_train_state, make_optimizer
+from bio_diffusion_tpu.train.step import make_eval_step, make_train_step
+from bio_diffusion_tpu.utils.logging import CSVLogger, MetricLoggers, get_logger
+
+log = get_logger(__name__)
+
+HALT_FILE_EXTENSION = "done"
+
+
+class Trainer:
+    """Single-host trainer; multi-device via mesh shardings on the batch."""
+
+    def __init__(
+        self,
+        exp: ExperimentConfig,
+        workdir: str,
+        datasets: Optional[Dict[str, Any]] = None,
+        mesh=None,
+        loggers=None,
+    ):
+        self.exp = exp
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+        self.datasets = datasets if datasets is not None else build_datasets(exp)
+        self.dataset_info = get_dataset_info_for(exp)
+        self.mesh = mesh
+        self.evd = build_evd(exp)
+        # sampling uses a no-remat twin (same params; remat only helps training)
+        self.evd_sample = build_evd(exp, remat=False)
+
+        hist = {int(k): int(v) for k, v in self.dataset_info["n_nodes"].items()}
+        self.nodes_dist = NumNodesDistribution(hist)
+
+        self.conditioning = tuple(exp.module_cfg.conditioning)
+        self.props_norms = None
+        self.props_distr = None
+        if self.conditioning:
+            # mean/MAD from train (QM9) or valid (QM9_second_half) split
+            # (reference compute_mean_mad, models/__init__.py:49-59)
+            split = "valid" if exp.dataloader_cfg.dataset == "QM9_second_half" else "train"
+            ds = self.datasets[split]
+            self.props_norms = {
+                p: compute_mean_mad(ds.property_values(p)) for p in self.conditioning
+            }
+            train_ds = self.datasets["train"]
+            self.props_distr = PropertiesDistribution(
+                train_ds.data["num_atoms"],
+                {p: train_ds.property_values(p) for p in self.conditioning},
+                normalizer=self.props_norms,
+            )
+
+        self.optimizer = make_optimizer(exp.optimizer)
+        self.train_step = make_train_step(
+            self.evd, self.optimizer, exp.diffusion_cfg, exp.dataloader_cfg,
+            self.nodes_dist.log_prob_table,
+            ema_decay=exp.trainer.ema_decay,
+            clip_gradients=exp.module_cfg.clip_gradients,
+        )
+        self.eval_step = make_eval_step(
+            self.evd, exp.diffusion_cfg, exp.dataloader_cfg, self.nodes_dist.log_prob_table
+        )
+        self.loggers = loggers or MetricLoggers(CSVLogger(os.path.join(workdir, "metrics.csv")))
+
+        self.rng = np.random.default_rng(exp.seed)
+        self.state = None
+
+    # -- setup ---------------------------------------------------------------
+
+    def _batch_iter(self, split: str, shuffle: bool = True):
+        dl = self.exp.dataloader_cfg
+        pad_to = None
+        if "QM9" in dl.dataset or dl.dataset == "synthetic":
+            pad_to = self.datasets[split].data["positions"].shape[1]
+        return iterate_dense_batches(
+            self.datasets[split],
+            batch_size=dl.batch_size,
+            rng=self.rng,
+            shuffle=shuffle and dl.shuffle,
+            drop_last=dl.drop_last if split == "train" else False,
+            pad_to=pad_to,
+            pad_to_multiple=dl.pad_to_multiple,
+            bucket_sizes=dl.bucket_sizes,
+            conditioning=self.conditioning,
+            property_norms=self.props_norms,
+        )
+
+    def _shard(self, batch):
+        if self.mesh is None:
+            return batch
+        from bio_diffusion_tpu.parallel.mesh import batch_sharding
+
+        bs = batch_sharding(self.mesh)
+        return jax.tree.map(lambda x: jax.device_put(x, bs) if x is not None else None, batch)
+
+    def init_state(self, resume: bool = True):
+        exp = self.exp
+        batch = next(self._batch_iter("train"))
+        key = jax.random.PRNGKey(exp.seed)
+        params = self.evd.init(
+            key, jnp.asarray(batch.x), jnp.asarray(batch.one_hot), jnp.asarray(batch.charges),
+            jnp.asarray(batch.node_mask), key, training=True,
+            context=None if batch.context is None else jnp.asarray(batch.context),
+        )
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+        log.info(f"Initialized model with {n_params:,} parameters")
+        if self.mesh is not None:
+            from bio_diffusion_tpu.parallel.mesh import param_sharding_rules, shard_pytree
+
+            params = shard_pytree(params, param_sharding_rules(params, self.mesh))
+        self.state = create_train_state(params, self.optimizer)
+
+        ckpt_dir = os.path.join(self.workdir, exp.trainer.ckpt_dir)
+        if resume and latest_step(ckpt_dir) is not None:
+            self.state = restore_checkpoint(ckpt_dir, self.state)
+            log.info(f"Resumed from checkpoint step {int(self.state.step)}")
+        return self.state
+
+    # -- phases ---------------------------------------------------------------
+
+    def train_epoch(self, epoch: int, max_steps: Optional[int] = None) -> Dict[str, float]:
+        exp = self.exp
+        key = jax.random.PRNGKey(exp.seed + 1)
+        metrics_acc: Dict[str, list] = {}
+        n_batches = 0
+        for batch in self._batch_iter("train"):
+            self.state, metrics = self.train_step(self.state, self._shard(batch), key)
+            n_batches += 1
+            for k, v in metrics.items():
+                metrics_acc.setdefault(k, []).append(v)
+            if max_steps is not None and int(self.state.step) >= max_steps:
+                break
+        # materialize at epoch end only (no per-step host syncs)
+        out = {k: float(np.mean([np.asarray(v) for v in vs])) for k, vs in metrics_acc.items()}
+        loss = out.get("loss", float("nan"))
+        if not np.isfinite(loss):
+            raise FloatingPointError(f"Non-finite training loss at epoch {epoch}: {loss}")
+        self.loggers.log({f"train/{k}": v for k, v in out.items()}, int(self.state.step), epoch)
+        return out
+
+    def validate(self, epoch: int, split: str = "valid", use_ema: bool = True) -> Dict[str, float]:
+        params = self.state.ema_params if use_ema else self.state.params
+        key = jax.random.PRNGKey(self.exp.seed + 2)
+        accs: Dict[str, list] = {}
+        for i, batch in enumerate(self._batch_iter(split, shuffle=False)):
+            info = self.eval_step(params, self._shard(batch), jax.random.fold_in(key, i))
+            for k, v in info.items():
+                accs.setdefault(k, []).append(np.asarray(v))
+        out = {k: float(np.mean(vs)) for k, vs in accs.items()}
+        # log-SNR endpoints diagnostic (reference validation_step :446-451)
+        dc = self.exp.diffusion_cfg
+        if dc.noise_schedule != "learned":
+            from bio_diffusion_tpu.ops.schedules import predefined_gamma_table
+
+            table = predefined_gamma_table(dc.noise_schedule, dc.num_timesteps, dc.noise_precision)
+            out["log_SNR_max"] = float(-table[0])
+            out["log_SNR_min"] = float(-table[-1])
+        self.loggers.log({f"{split}/{k}": v for k, v in out.items()}, int(self.state.step), epoch)
+        return out
+
+    def evaluate_sampling(self, epoch: int, num_samples: Optional[int] = None) -> Dict[str, float]:
+        exp = self.exp
+        num_samples = num_samples or exp.diffusion_cfg.num_eval_samples
+        sampler = SegmentedSampler(self.evd_sample, self.state.ema_params)
+        xh, node_mask, _ = sample_molecules(
+            sampler,
+            jax.random.PRNGKey(exp.seed + 3 + epoch),
+            num_samples,
+            self.nodes_dist,
+            self.rng,
+            batch_size=exp.diffusion_cfg.eval_batch_size,
+            props_distr=self.props_distr,
+        )
+        metrics = analyze_samples(
+            xh, node_mask, self.dataset_info,
+            include_charges=exp.dataloader_cfg.include_charges,
+        )
+        self.loggers.log({f"val/{k}": v for k, v in metrics.items()}, int(self.state.step), epoch)
+        log.info(f"Sampling eval @epoch {epoch}: {metrics}")
+        return metrics
+
+    # -- fit --------------------------------------------------------------------
+
+    def fit(self, max_epochs: Optional[int] = None, max_steps: Optional[int] = None):
+        exp = self.exp
+        max_epochs = max_epochs if max_epochs is not None else exp.trainer.max_epochs
+        if self.state is None:
+            self.init_state()
+        ckpt_dir = os.path.join(self.workdir, exp.trainer.ckpt_dir)
+
+        for epoch in range(max_epochs):
+            t0 = time.time()
+            train_metrics = self.train_epoch(epoch, max_steps=max_steps)
+            log.info(
+                f"epoch {epoch}: loss={train_metrics.get('loss', float('nan')):.4f} "
+                f"({time.time() - t0:.1f}s)"
+            )
+            if (epoch + 1) % exp.trainer.check_val_every_n_epoch == 0:
+                self.validate(epoch)
+                if exp.diffusion_cfg.sample_during_training and (
+                    (epoch + 1) % exp.diffusion_cfg.eval_epochs == 0
+                ):
+                    self.evaluate_sampling(epoch)
+            if (epoch + 1) % exp.trainer.ckpt_every_n_epochs == 0:
+                save_checkpoint(ckpt_dir, self.state)
+            if max_steps is not None and int(self.state.step) >= max_steps:
+                break
+
+        save_checkpoint(ckpt_dir, self.state)
+        self._write_halt_file()
+        return self.state
+
+    def _write_halt_file(self):
+        """Grid-search completion signal (reference on_fit_end,
+        qm9_mol_gen_ddpm.py:1306-1321)."""
+        grid_dir = (self.exp.raw.get("paths") or {}).get("grid_search_script_dir")
+        if grid_dir:
+            os.makedirs(grid_dir, exist_ok=True)
+            run_id = self.exp.raw.get("task_name", "run")
+            with open(os.path.join(grid_dir, f"{run_id}.{HALT_FILE_EXTENSION}"), "w") as f:
+                f.write("`on_fit_end` has been called.")

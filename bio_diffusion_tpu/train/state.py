@@ -69,7 +69,9 @@ def create_train_state(params, optimizer: optax.GradientTransformation) -> Train
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=optimizer.init(params),
-        ema_params=params,
+        # distinct buffers: params and ema_params are both donated by the
+        # jitted train step, so they must not alias
+        ema_params=jax.tree.map(lambda x: x.copy(), params),
         gradnorm_buffer=buffer,
         gradnorm_count=jnp.ones((), jnp.int32),
     )
