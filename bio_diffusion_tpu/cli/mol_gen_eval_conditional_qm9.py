@@ -1,0 +1,128 @@
+"""Conditional-generation evaluation (counterpart of reference
+src/mol_gen_eval_conditional_qm9.py).
+
+Protocol: load a property-conditional generator, sample molecules with
+property contexts drawn from the per-size property histograms, score them
+with the pretrained EGNN property classifier, and report the MAE between
+the classifier's prediction and the conditioning value (reference
+ConditionalDiffusionDataLoader + test_with_property_classifier).
+
+Config surgery performed at runtime exactly like the reference (:201-206):
+dataset=QM9_second_half, conditioning=[property], norm_values=[1,8,1],
+include_charges=false.
+
+Usage:
+  python -m bio_diffusion_tpu.cli.mol_gen_eval_conditional_qm9 \
+      generator_model_filepath=... classifier_model_dir=... property=alpha
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bio_diffusion_tpu.cli.common import load_model, nodes_distribution_for, parse_cli
+from bio_diffusion_tpu.config.build import build_datasets, build_experiment
+from bio_diffusion_tpu.models.distributions import PropertiesDistribution, compute_mean_mad
+from bio_diffusion_tpu.train.sampling import SegmentedSampler, make_node_mask
+from bio_diffusion_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def apply_conditional_surgery(cfg, prop: str):
+    """The reference's runtime open_dict config edits (:201-206)."""
+    model = cfg.setdefault("model", {})
+    model.setdefault("module_cfg", {})["conditioning"] = [prop]
+    model.setdefault("diffusion_cfg", {})["norm_values"] = [1.0, 8.0, 1.0]
+    dm = cfg.setdefault("datamodule", {}).setdefault("dataloader_cfg", {})
+    if dm.get("dataset") != "synthetic":
+        dm["dataset"] = "QM9_second_half"
+    dm["include_charges"] = False
+    return cfg
+
+
+def main(argv=None):
+    cfg, flags = parse_cli(
+        list(sys.argv[1:] if argv is None else argv), "mol_gen_eval_conditional_qm9"
+    )
+    prop = str(cfg.get("property", "alpha"))
+    cfg = apply_conditional_surgery(cfg, prop)
+    exp = build_experiment(cfg)
+    nodes_dist = nodes_distribution_for(exp)
+
+    evd, params = load_model(exp, cfg.get("generator_model_filepath") or cfg.get("ckpt_path"))
+    sampler = SegmentedSampler(evd, params)
+
+    # property normalizers from the second-half valid split (reference
+    # compute_mean_mad for QM9_second_half)
+    datasets = build_datasets(exp)
+    norm_split = "valid" if exp.dataloader_cfg.dataset == "QM9_second_half" else "train"
+    props_norms = {prop: compute_mean_mad(datasets[norm_split].property_values(prop))}
+    train_ds = datasets["train"]
+    props_distr = PropertiesDistribution(
+        train_ds.data["num_atoms"], {prop: train_ds.property_values(prop)},
+        normalizer=props_norms,
+    )
+    mean, mad = props_norms[prop]["mean"], props_norms[prop]["mad"]
+
+    # classifier
+    classifier_dir = cfg.get("classifier_model_dir")
+    if classifier_dir and os.path.isdir(str(classifier_dir)):
+        from bio_diffusion_tpu.models.classifier import load_torch_classifier
+
+        classifier, cls_params = load_torch_classifier(str(classifier_dir))
+    else:
+        from bio_diffusion_tpu.models.classifier import EGNNClassifier
+
+        log.warning("No classifier_model_dir — using a randomly initialized classifier "
+                    "(MAE numbers will be meaningless; for smoke testing only)")
+        classifier = EGNNClassifier(in_node_nf=5, hidden_nf=32, n_layers=2)
+        cls_params = classifier.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 4, 5)), jnp.zeros((1, 4, 3)), jnp.ones((1, 4))
+        )
+    classify = jax.jit(lambda p, h, x, m: classifier.apply(p, h, x, m))
+
+    rng = np.random.default_rng(exp.seed)
+    key = jax.random.PRNGKey(exp.seed)
+    batch_size = int(cfg.get("batch_size", 100))
+    iterations = int(cfg.get("iterations", 100))
+    num_timesteps = cfg.get("num_timesteps")
+    num_timesteps = int(num_timesteps) if num_timesteps else None
+
+    maes = []
+    for it in range(iterations):
+        num_nodes = nodes_dist.sample(batch_size, rng)
+        pad = int(nodes_dist.max_n)
+        node_mask = jnp.asarray(make_node_mask(num_nodes, pad))
+        ctx_norm = props_distr.sample_batch(num_nodes, rng)  # normalized [B,1]
+        context = jnp.asarray(
+            np.broadcast_to(ctx_norm[:, None, :], (batch_size, pad, 1)).copy()
+            * np.asarray(node_mask)[..., None]
+        )
+        key, k = jax.random.split(key)
+        xh = sampler.run(k, node_mask, num_timesteps=num_timesteps, context=context)
+        x = xh[..., :3]
+        one_hot = xh[..., 3:8]
+        pred = np.asarray(classify(cls_params, jnp.asarray(one_hot), jnp.asarray(x), node_mask))
+        target = ctx_norm[:, 0] * mad + mean  # unnormalize conditioning value
+        mae = float(np.abs(mad * pred + mean - target).mean())
+        maes.append(mae)
+        log.info(f"iteration {it + 1}/{iterations}: MAE={mae:.4f} (running {np.mean(maes):.4f})")
+
+    result = {"property": prop, "mae": float(np.mean(maes)), "mae_per_iteration": maes}
+    out_dir = str(cfg.get("output_dir", "outputs/mol_gen_eval_conditional_qm9"))
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, f"conditional_eval_{prop}.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps({"property": prop, "mae": result["mae"]}))
+    return result
+
+
+if __name__ == "__main__":
+    main()

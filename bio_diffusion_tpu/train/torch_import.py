@@ -38,6 +38,11 @@ _INDEXED_CONTAINERS = (
     "feedforward_network",
     "gcp_norm",
     "gcp_dropout",
+    # EGNN dynamics containers (torch Sequential / ModuleList indices)
+    "mpnn_layers",
+    "edge_mlp",
+    "node_mlp",
+    "coors_mlp",
 )
 
 _SKIP_PREFIXES = ("num_nodes_distribution", "molecular_metrics")
@@ -83,7 +88,17 @@ def torch_name_to_flax_path(name: str) -> Optional[List[str]]:
         else:
             out.append(p)
             i += 1
-    return out
+    # EGNN dynamics: 'egnn.mpnn_layers.<i>' is one flax module 'egnn_mpnn_layers_<i>'
+    merged: List[str] = []
+    j = 0
+    while j < len(out):
+        if out[j] == "egnn" and j + 1 < len(out) and out[j + 1].startswith("mpnn_layers_"):
+            merged.append(f"egnn_{out[j + 1]}")
+            j += 2
+        else:
+            merged.append(out[j])
+            j += 1
+    return merged
 
 
 def convert_state_dict(state_dict: Dict[str, Any]) -> Dict[str, np.ndarray]:
