@@ -1,0 +1,400 @@
+"""Fast inference forward for GCPNetDynamics: pure functions + Pallas kernels.
+
+The flax module path (models/gcpnet.py) is the source of truth and the
+training path.  This module implements an equivalent forward that
+
+  * reads the SAME parameter tree (no conversion),
+  * keeps vector features coords-major end to end (no [V,3]<->[3,V]
+    transposes on edge tensors),
+  * dispatches the secondary message-GCP chain + scalar attention to the
+    fused Pallas kernel (ops/pallas/gcp_kernel.py),
+  * evaluates the first message GCP with split weights on flat edges.
+
+Supported configuration (asserted): GCP2, vector_gate, frame updates on, no
+ablations, no gcp-norm/dropout, single feedforward layer, squeeze position
+update — exactly the trained QM9/GEOM configuration.  Anything else falls
+back to the module path (SegmentedSampler handles the choice).
+
+Parity is pinned by tests/test_gcpnet_fast.py (module vs fast forward on
+the same params).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from bio_diffusion_tpu.config.schema import (
+    DataloaderConfig, DiffusionConfig, LayerConfig, ModelConfig, ModuleConfig,
+    compute_num_atom_types,
+)
+from bio_diffusion_tpu.models.gcpnet import NODE_FEATURE_DIFFUSION_TARGETS
+from bio_diffusion_tpu.ops.geometry import (
+    build_edge_mask, centralize, edge_features, localize, node_mean_frames, orientations,
+)
+from bio_diffusion_tpu.ops.pallas.gcp_kernel import (
+    fused_gcp2_chain, fused_message_layer, pack_chain_weights, pack_gcp1_weights,
+)
+
+Array = jnp.ndarray
+
+
+def supports_fast_path(module_cfg: ModuleConfig, layer_cfg: LayerConfig) -> bool:
+    return (
+        module_cfg.selected_gcp.lower() == "gcp2"
+        and module_cfg.vector_gate
+        and not module_cfg.frame_gate
+        and not module_cfg.ablate_frame_updates
+        and not module_cfg.ablate_scalars
+        and not module_cfg.ablate_vectors
+        and not module_cfg.update_positions_with_vector_sum
+        and not layer_cfg.use_gcp_norm
+        and not layer_cfg.use_gcp_dropout
+        and not layer_cfg.pre_norm
+        and layer_cfg.use_scalar_message_attention
+        and layer_cfg.num_feedforward_layers == 1
+        and layer_cfg.mp_cfg.use_residual_message_gcp
+        and module_cfg.scalar_nonlinearity == "silu"
+        and module_cfg.vector_nonlinearity == "silu"
+    )
+
+
+def _safe_norm_last(x2_sum: Array, eps: float = 1e-8) -> Array:
+    return jnp.sqrt(x2_sum + eps) + eps
+
+
+def _gcp2_apply_cm(w: Dict[str, Any], s: Array, v_cm: Optional[Array], frames: Array,
+                   scalar_act: bool, gate_act: Optional[str] = "silu",
+                   feedforward_out: bool = False) -> Tuple[Array, Optional[Array]]:
+    """Generic GCP2 (vector_gate config) from a flax weight subtree.
+
+    ``v_cm``: [..., 3, V] coords-major vectors (or None for scalar input).
+    ``frames``: [..., 3, 3].  Returns (scalar, vectors coords-major or None).
+    ``scalar_act``: apply silu to the scalar output (nonlinearities[0]).
+    ``gate_act``: the vector nonlinearity applied to the scalar before the
+    sigmoid vector gate ("silu" for cfg nonlinearities, None for (None, None)).
+    """
+    dt = s.dtype
+    merged_parts = [s]
+    vh = None
+    if v_cm is not None and "vector_down" in w:
+        wd = w["vector_down"]["kernel"].astype(dt)
+        vh = v_cm @ wd  # [..., 3, H]
+        vnorm = _safe_norm_last(jnp.sum(vh * vh, axis=-2))
+        merged_parts.append(vnorm.astype(dt))
+        wdf = w["vector_down_frames"]["kernel"].astype(dt)
+        vdf = v_cm @ wdf  # [..., 3, 3] (coords, sv-channels)
+        # scalarize: out[..., c*3+a] = sum_k frames[a,k] vdf[k,c]
+        sc = jnp.einsum("...ak,...kc->...ca", frames.astype(dt), vdf)
+        merged_parts.append(sc.reshape(sc.shape[:-2] + (9,)))
+
+    merged = jnp.concatenate(merged_parts, axis=-1)
+    head = w["scalar_out_head"]
+    if feedforward_out:
+        h0 = merged @ head["scalar_out_0"]["kernel"].astype(dt) + head["scalar_out_0"]["bias"].astype(dt)
+        s2 = jax.nn.silu(h0) @ head["scalar_out_2"]["kernel"].astype(dt) + head["scalar_out_2"]["bias"].astype(dt)
+    else:
+        s2 = merged @ head["scalar_out"]["kernel"].astype(dt) + head["scalar_out"]["bias"].astype(dt)
+
+    v_out = None
+    if "vector_up" in w:
+        vu = vh @ w["vector_up"]["kernel"].astype(dt)  # [..., 3, V_out]
+        gate_in = jax.nn.silu(s2) if gate_act == "silu" else s2
+        gate = jax.nn.sigmoid(
+            gate_in @ w["vector_out_scale"]["kernel"].astype(dt)
+            + w["vector_out_scale"]["bias"].astype(dt)
+        )
+        v_out = vu * gate[..., None, :]
+    s_out = jax.nn.silu(s2) if scalar_act else s2
+    return s_out, v_out
+
+
+def _stack_chain_weights(mp: Dict[str, Any], num_message_layers: int, dtype):
+    names = [f"message_fusion_{i}" for i in range(1, num_message_layers)]
+    def get(name, *path):
+        node = mp[name]
+        for p in path:
+            node = node[p]
+        return node.astype(dtype)
+
+    wd = jnp.stack([get(n, "vector_down", "kernel") for n in names])
+    wdf = jnp.stack([get(n, "vector_down_frames", "kernel") for n in names])
+    ws = jnp.stack([get(n, "scalar_out_head", "scalar_out", "kernel") for n in names])
+    bs = jnp.stack([get(n, "scalar_out_head", "scalar_out", "bias") for n in names])
+    wu = jnp.stack([get(n, "vector_up", "kernel") for n in names])
+    wg = jnp.stack([get(n, "vector_out_scale", "kernel") for n in names])
+    bg = jnp.stack([get(n, "vector_out_scale", "bias") for n in names])
+    wattn = mp["scalar_message_attention"]["kernel"].astype(dtype)
+    battn = mp["scalar_message_attention"]["bias"].astype(dtype)
+    return wd, wdf, ws, bs, wu, wg, bg, wattn, battn
+
+
+def _message_passing_fast(
+    mp: Dict[str, Any],
+    s_node: Array,  # [B, N, S]
+    v_node_cm: Array,  # [B, N, 3, V]
+    e: Array,  # [B, N, N, Se]
+    xi_cm: Array,  # [B, N, N, 3, Ve]
+    frames_flat: Array,  # [E, 9]
+    edge_mask: Array,  # [B, N, N]
+    num_message_layers: int,
+    use_pallas: bool,
+    interpret: bool,
+) -> Tuple[Array, Array]:
+    """Full message stack -> aggregated (s [B,N,S], v_cm [B,N,3,V])."""
+    dt = s_node.dtype
+    b, n, s_dim = s_node.shape
+    v_dim = v_node_cm.shape[-1]
+    ve_dim = xi_cm.shape[-1]
+    e_count = b * n * n
+
+    w1 = mp["message_fusion_0"]
+    # --- first GCP: split-weight evaluation (math of GCP2FusedEdgeMessage) ---
+    wd = w1["vector_down"]["kernel"].astype(dt)  # [2V+Ve, H]
+    wdf = w1["vector_down_frames"]["kernel"].astype(dt)  # [2V+Ve, 3]
+    wd_i, wd_e, wd_j = wd[:v_dim], wd[v_dim:v_dim + ve_dim], wd[v_dim + ve_dim:]
+    wdf_i, wdf_e, wdf_j = wdf[:v_dim], wdf[v_dim:v_dim + ve_dim], wdf[v_dim + ve_dim:]
+
+    vh = (
+        (v_node_cm @ wd_i)[:, :, None]
+        + xi_cm @ wd_e
+        + (v_node_cm @ wd_j)[:, None, :]
+    )  # [B,N,N,3,H]
+    vnorm = _safe_norm_last(jnp.sum(vh * vh, axis=-2)).astype(dt)
+    vdf = (
+        (v_node_cm @ wdf_i)[:, :, None]
+        + xi_cm @ wdf_e
+        + (v_node_cm @ wdf_j)[:, None, :]
+    )  # [B,N,N,3,3]
+    frames4_t = frames_flat.reshape(b, n, n, 3, 3).astype(dt)  # [.., k, a]
+    sc = jnp.einsum("...ka,...kc->...ca", frames4_t, vdf)
+    sc = sc.reshape(b, n, n, 9)
+
+    ws = w1["scalar_out_head"]["scalar_out"]["kernel"].astype(dt)
+    bs1 = w1["scalar_out_head"]["scalar_out"]["bias"].astype(dt)
+    h_dim = vh.shape[-1]
+    ws_i = ws[:s_dim]
+    ws_e = ws[s_dim: s_dim + e.shape[-1]]
+    ws_j = ws[s_dim + e.shape[-1]: 2 * s_dim + e.shape[-1]]
+    ws_vn = ws[2 * s_dim + e.shape[-1]: 2 * s_dim + e.shape[-1] + h_dim]
+    ws_sc = ws[2 * s_dim + e.shape[-1] + h_dim:]
+
+    s2 = (
+        (s_node @ ws_i)[:, :, None]
+        + e @ ws_e
+        + (s_node @ ws_j)[:, None, :]
+        + vnorm @ ws_vn
+        + sc @ ws_sc
+        + bs1
+    )  # [B,N,N,S]
+    gate = jax.nn.sigmoid(
+        jax.nn.silu(s2) @ w1["vector_out_scale"]["kernel"].astype(dt)
+        + w1["vector_out_scale"]["bias"].astype(dt)
+    )
+    v1 = (vh @ w1["vector_up"]["kernel"].astype(dt)) * gate[..., None, :]  # [B,N,N,3,V]
+    s1 = jax.nn.silu(s2)
+
+    # --- secondary chain + attention ---
+    s_flat = s1.reshape(e_count, s_dim)
+    v_flat = v1.reshape(e_count, 3 * v_dim)
+    chain_w = _stack_chain_weights(mp, num_message_layers, dt)
+
+    if use_pallas:
+        s_out, v_out = fused_gcp2_chain(
+            s_flat, v_flat, frames_flat.astype(dt), *chain_w, interpret=interpret
+        )
+    else:  # XLA fallback with identical math (used for CPU tests)
+        s_out, v_out = s_flat, v_flat
+        wd_c, wdf_c, ws_c, bs_c, wu_c, wg_c, bg_c, wattn, battn = chain_w
+        for g in range(num_message_layers - 1):
+            vks = v_out.reshape(e_count, 3, v_dim)
+            vh_g = vks @ wd_c[g]
+            vnorm_g = _safe_norm_last(jnp.sum(vh_g * vh_g, axis=-2))
+            vdf_g = vks @ wdf_c[g]
+            f3_t = frames_flat.reshape(e_count, 3, 3).astype(dt)  # [k, a]
+            sc_g = jnp.einsum("...ka,...kc->...ca", f3_t, vdf_g).reshape(e_count, 9)
+            merged = jnp.concatenate([s_out, vnorm_g.astype(dt), sc_g], -1)
+            s2_g = merged @ ws_c[g] + bs_c[g]
+            gate_g = jax.nn.sigmoid(jax.nn.silu(s2_g) @ wg_c[g] + bg_c[g])
+            v_new = (vh_g @ wu_c[g]) * gate_g[..., None, :]
+            s_out = s_out + jax.nn.silu(s2_g)
+            v_out = v_out + v_new.reshape(e_count, 3 * v_dim)
+        attn = jax.nn.sigmoid(s_out @ chain_w[7] + chain_w[8])
+        s_out = s_out * attn
+
+    # --- masked aggregation over targets j ---
+    em = edge_mask.astype(dt)
+    s_agg = jnp.sum(s_out.reshape(b, n, n, s_dim) * em[..., None], axis=2)
+    v_agg = jnp.sum(v_out.reshape(b, n, n, 3, v_dim) * em[..., None, None], axis=2)
+    return s_agg, v_agg
+
+
+def make_fast_dynamics(
+    model_cfg: ModelConfig,
+    module_cfg: ModuleConfig,
+    layer_cfg: LayerConfig,
+    diffusion_cfg: DiffusionConfig,
+    dataloader_cfg: DataloaderConfig,
+    params: Dict[str, Any],
+    compute_dtype: Optional[str] = "bfloat16",
+    use_pallas: bool = True,
+    interpret: bool = False,
+):
+    """Build fn(xh, t, node_mask, context, xh_self_cond) closing over weights.
+
+    ``params``: the full EVD variables dict ({'params': {'dynamics': ...}})
+    or the dynamics variables ({'params': ...}).
+    """
+    assert supports_fast_path(module_cfg, layer_cfg), "config not supported by the fast path"
+    p = params["params"]
+    dyn = p["dynamics"] if "dynamics" in p else p
+
+    mc, mod, dc, dl = model_cfg, module_cfg, diffusion_cfg, dataloader_cfg
+    cdt_build = jnp.dtype(compute_dtype) if compute_dtype else jnp.float32
+
+    # pre-pack per-layer kernel weights (host-side, once per weight set)
+    mega_layers = None
+    if use_pallas:
+        import numpy as _np
+
+        mega_layers = []
+        for i in range(mc.num_encoder_layers):
+            mp = dyn[f"interaction_layers_{i}"]["interaction"]
+            g1 = pack_gcp1_weights(
+                mp["message_fusion_0"], s_dim=mc.h_hidden_dim,
+                v_dim=mc.chi_hidden_dim, ve_dim=mc.xi_hidden_dim,
+            )
+            g1 = {k: (jnp.asarray(v, cdt_build) if isinstance(v, _np.ndarray) else v)
+                  for k, v in g1.items()}
+            cw = _stack_chain_weights(mp, layer_cfg.mp_cfg.num_message_layers, cdt_build)
+            wd_c, wdf_c, ws_c, bs_c, wu_c, wg_c, bg_c, wattn, battn = cw
+            w_comb, wu_bd = pack_chain_weights(wd_c, wdf_c, wu_c)
+            chain = (jnp.asarray(w_comb, cdt_build), ws_c, bs_c,
+                     jnp.asarray(wu_bd, cdt_build), wg_c, bg_c, wattn, battn)
+            mega_layers.append((g1, chain))
+    nx = dl.num_x_dims
+    node_target = dc.diffusion_target in NODE_FEATURE_DIFFUSION_TARGETS
+    h_input_dim_ = compute_num_atom_types(dl) + int(dl.include_charges) if node_target else mc.h_input_dim
+    n_cond = len(mod.conditioning)
+    cdt = jnp.dtype(compute_dtype) if compute_dtype else jnp.float32
+
+    def forward(xh, t, node_mask, context=None, xh_self_cond=None, deterministic=True):
+        mask_f = node_mask.astype(xh.dtype)
+        xh = xh * mask_f[..., None]
+        x_init = xh[..., :nx]
+        h = xh[..., nx:]
+        b, n = node_mask.shape
+        edge_mask = build_edge_mask(node_mask).astype(jnp.float32)
+
+        chi = orientations(x_init, node_mask)  # [B,N,2,3]
+        e_s, e_v = edge_features(x_init, edge_mask)  # [B,N,N,1], [B,N,N,1,3]
+
+        if dc.self_condition:
+            sc_in = xh_self_cond if xh_self_cond is not None else jnp.zeros_like(xh)
+            chi_sc = orientations(sc_in[..., :nx], node_mask)
+            e_s_sc, e_v_sc = edge_features(sc_in[..., :nx], edge_mask)
+            h = jnp.concatenate([h, sc_in[..., nx:]], -1)
+            chi = jnp.concatenate([chi, chi_sc], -2)
+            e_s = jnp.concatenate([e_s, e_s_sc], -1)
+            e_v = jnp.concatenate([e_v, e_v_sc], -2)
+
+        if dc.condition_on_time:
+            h_time = jnp.broadcast_to(t[..., None, :], t.shape[:-1] + (n, 1)).astype(h.dtype)
+            h = jnp.concatenate([h, h_time], -1)
+        if n_cond > 0:
+            h = jnp.concatenate([h, context.astype(h.dtype)], -1)
+
+        _, x_cent = centralize(x_init, node_mask)
+        f_ij = localize(x_cent, edge_mask, norm_x_diff=mod.norm_x_diff)
+        f_node = node_mean_frames(f_ij, edge_mask)
+        # coordinate-major (transposed) flat frames for the kernel layout
+        frames_flat = jnp.swapaxes(f_ij, -1, -2).reshape(b * n * n, 9).astype(cdt)
+        f_node_c = f_node.astype(cdt)
+        f_ij_c = f_ij.astype(cdt)
+
+        # coords-major casts
+        h = h.astype(cdt)
+        chi_cm = jnp.swapaxes(chi, -1, -2).astype(cdt)  # [B,N,3,V]
+        e_s = e_s.astype(cdt)
+        ev_cm = jnp.swapaxes(e_v, -1, -2).astype(cdt)  # [B,N,N,3,Ve]
+
+        emb = dyn["gcp_embedding"]
+        e_emb, xi_emb = _gcp2_apply_cm(
+            emb["edge_embedding"], e_s, ev_cm, f_ij_c, scalar_act=True
+        )
+        h_emb, chi_emb = _gcp2_apply_cm(
+            emb["node_embedding"], h, chi_cm, f_node_c, scalar_act=False, gate_act=None
+        )
+
+        x = x_cent
+        s_node, v_node = h_emb, chi_emb
+
+        epack = None
+        if use_pallas:
+            # pack all per-edge features into one 128-lane-aligned tensor
+            se = e_emb.shape[-1]
+            ve3 = 3 * mc.xi_hidden_dim
+            width = se + ve3 + 9 + 1
+            pad_w = (-width) % 128
+            parts = [
+                e_emb,
+                xi_emb.reshape(b, n, n, ve3),
+                frames_flat.reshape(b, n, n, 9).astype(cdt),
+                edge_mask[..., None].astype(cdt),
+            ]
+            if pad_w:
+                parts.append(jnp.zeros((b, n, n, pad_w), cdt))
+            epack = jnp.concatenate(parts, axis=-1).reshape(b, n * n, width + pad_w)
+
+        for i in range(mc.num_encoder_layers):
+            layer = dyn[f"interaction_layers_{i}"]
+            if use_pallas:
+                g1, chain = mega_layers[i]
+                s_agg, v_agg3 = fused_message_layer(
+                    s_node, v_node.reshape(b, n, 3 * mc.chi_hidden_dim),
+                    epack, g1, chain, ve_dim=mc.xi_hidden_dim, interpret=interpret,
+                )
+                v_agg = v_agg3.reshape(b, n, 3, mc.chi_hidden_dim)
+            else:
+                s_agg, v_agg = _message_passing_fast(
+                    layer["interaction"], s_node, v_node, e_emb, xi_emb, frames_flat,
+                    edge_mask, layer_cfg.mp_cfg.num_message_layers, use_pallas, interpret,
+                )
+            # feedforward over concat(aggregate, node)
+            s_cat = jnp.concatenate([s_agg, s_node], -1)
+            v_cat = jnp.concatenate([v_agg, v_node], -1)
+            s_ff, v_ff = _gcp2_apply_cm(
+                layer["feedforward_network_0"], s_cat, v_cat, f_node_c,
+                scalar_act=False, gate_act=None, feedforward_out=True,
+            )
+            s_node = (s_node + s_ff) * mask_f[..., None].astype(cdt)
+            v_node = (v_node + v_ff) * mask_f[..., None, None].astype(cdt)
+
+            # position update (single-vector-channel GCP)
+            s_pu, v_pu = _gcp2_apply_cm(
+                layer["node_position_update_gcp"], s_node, v_node, f_node_c, scalar_act=True
+            )
+            x_update = v_pu[..., :, 0].astype(jnp.float32)  # [B,N,3]
+            x = x + x_update * mod.node_positions_weight
+            x = x * mask_f[..., None]
+
+        h_out, _ = _gcp2_apply_cm(
+            dyn["scalar_node_projection_gcp"], s_node, v_node, f_node_c, scalar_act=False
+        )
+        h_out = h_out.astype(jnp.float32)
+
+        vel = (x - x_init) * mask_f[..., None]
+        if n_cond > 0:
+            h_out = h_out[..., : h_out.shape[-1] - n_cond]
+        if dc.condition_on_time:
+            h_out = h_out[..., :-1]
+
+        vel_ok = jnp.all(jnp.isfinite(vel))
+        vel = jnp.where(vel_ok, vel, jnp.zeros_like(vel))
+        _, vel = centralize(vel, node_mask)
+        return jnp.concatenate([vel, h_out], -1)
+
+    return forward

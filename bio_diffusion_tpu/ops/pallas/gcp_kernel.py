@@ -1,0 +1,487 @@
+"""Fused Pallas kernel: the residual chain of secondary message GCP2s.
+
+The denoiser's hot loop is GCPMessagePassing's message stack — after the
+(already split-weight-fused) first GCP, three identical-shape GCP2s run
+per edge with residual accumulation, then sigmoid scalar attention
+(gcpnet.py:696-713).  Under XLA each GCP costs ~10 HBM round trips over the
+[E, 256]-scale edge tensors; this kernel runs the whole chain (+ attention)
+in one pass with everything resident in VMEM: per block of edges, inputs
+are read once and outputs written once.
+
+Layout contract (kernel-side, all 2D):
+  * s        [E, S]      scalar channels
+  * v        [E, 3*V]    vector channels, COORDS-MAJOR: column k*V+c is
+                         coordinate k of channel c
+  * frames_t [E, 9]      TRANSPOSED frames, flattened k*3+a (coordinate-major)
+                         — lets the scalarize be pure lane tile/repeat ops
+  * stacked weights per chain step (identical shapes across the 3 GCPs)
+
+Math per GCP2 (vector_gate config; matches models/gcp.py GCP2 exactly):
+  vh_k    = v_k @ Wd                      (k = x,y,z)
+  vnorm   = sqrt(sum_k vh_k^2 + eps) + eps
+  vdf_k   = v_k @ Wdf
+  schid[., c*3+a] = sum_k frames[., a, k] * vdf_k[., c]
+                  = sum_k repeat(vdf_k, 3)[., c*3+a] * tile(frames_t[., 3k:3k+3], 3)[., c*3+a]
+  s2      = [s | vnorm | schid] @ Ws + bs
+  gate    = sigmoid(silu(s2) @ Wg + bg)
+  v'_k    = (vh_k @ Wu) * gate ;  s' = silu(s2)
+  residual: s <- s + s', v <- v + v'
+
+Used on the inference/sampling path (the training path keeps the XLA
+implementation — same parameters, no custom VJP needed).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK = 1024
+
+
+def pack_chain_weights(wd, wdf, wu):
+    """Pack per-GCP weights into block-diagonal combined matrices.
+
+    Returns (w_comb [G, 3V, 3H+9], wu_bd [G, 3H, 3V]) such that
+      v_cm @ w_comb = [vh_x | vh_y | vh_z | vdf_x | vdf_y | vdf_z]
+      vh_cm @ wu_bd = coords-major vector update
+    — turning the per-coordinate small matmuls into single large ones.
+    """
+    g, v_dim, h_dim = wd.shape
+    w_comb = np.zeros((g, 3 * v_dim, 3 * h_dim + 9), dtype=np.float32)
+    wu_bd = np.zeros((g, 3 * h_dim, 3 * v_dim), dtype=np.float32)
+    wd_np = np.asarray(wd, np.float32)
+    wdf_np = np.asarray(wdf, np.float32)
+    wu_np = np.asarray(wu, np.float32)
+    for k in range(3):
+        w_comb[:, k * v_dim:(k + 1) * v_dim, k * h_dim:(k + 1) * h_dim] = wd_np
+        w_comb[:, k * v_dim:(k + 1) * v_dim, 3 * h_dim + 3 * k: 3 * h_dim + 3 * (k + 1)] = wdf_np
+        wu_bd[:, k * h_dim:(k + 1) * h_dim, k * v_dim:(k + 1) * v_dim] = wu_np
+    return w_comb, wu_bd
+
+
+def _gcp2_chain_kernel(
+    s_ref, v_ref, ft_ref,
+    wcomb_ref, ws_ref, bs_ref, wubd_ref, wg_ref, bg_ref,
+    wattn_ref, battn_ref,
+    s_out_ref, v_out_ref,
+    *, num_gcps: int, v_dim: int, hidden_dim: int, use_attention: bool,
+):
+    s = s_ref[...]
+    v = v_ref[...]
+    frames_t = ft_ref[...]  # [B, 9] layout k*3+a
+    f32 = jnp.float32
+    h3 = 3 * hidden_dim
+
+    # selector matmul instead of repeat (Mosaic can't shape-cast jnp.repeat):
+    #   x[B,3] @ REP3[3,9] repeats each of 3 columns 3x (c-major)
+    col = jax.lax.broadcasted_iota(jnp.int32, (3, 9), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (3, 9), 0)
+    rep3 = (col // 3 == row).astype(f32)
+    tile3 = (col % 3 == row).astype(f32)
+    # tiled frame factors: T_k[:, c*3+a] = frames[a, k]
+    frame_tiles = [
+        jnp.dot(frames_t[:, 3 * k: 3 * (k + 1)].astype(f32), tile3,
+                preferred_element_type=f32)
+        for k in range(3)
+    ]
+
+    for g in range(num_gcps):
+        # one combined matmul: [vh_x|vh_y|vh_z|vdf_x|vdf_y|vdf_z]
+        vhd = jnp.dot(v, wcomb_ref[g], preferred_element_type=f32)  # [B, 3H+9]
+        vh_sq = sum(
+            vhd[:, k * hidden_dim:(k + 1) * hidden_dim] ** 2 for k in range(3)
+        )
+        # safe_norm over coords (eps inside AND outside the sqrt, ops/geometry.py)
+        vnorm = jnp.sqrt(vh_sq + 1e-8) + 1e-8  # [B, H]
+        # scalarize: schid[:, c*3+a] = sum_k vdf_k[:, c] * frames[a, k]
+        schid = sum(
+            jnp.dot(vhd[:, h3 + 3 * k: h3 + 3 * (k + 1)], rep3,
+                    preferred_element_type=f32) * frame_tiles[k]
+            for k in range(3)
+        )  # [B, 9]
+
+        merged = jnp.concatenate(
+            [s.astype(f32), vnorm, schid], axis=-1
+        ).astype(s.dtype)
+        s2 = jnp.dot(merged, ws_ref[g], preferred_element_type=f32) + bs_ref[g].astype(f32)
+        silu_s2 = jax.nn.silu(s2).astype(s.dtype)
+        gate = jax.nn.sigmoid(
+            jnp.dot(silu_s2, wg_ref[g], preferred_element_type=f32) + bg_ref[g].astype(f32)
+        ).astype(s.dtype)
+
+        vu = jnp.dot(vhd[:, :h3].astype(s.dtype), wubd_ref[g],
+                     preferred_element_type=f32).astype(s.dtype)  # [B, 3V] coords-major
+        gate3 = jnp.concatenate([gate, gate, gate], axis=-1)
+        # residual accumulation (reference gcpnet.py:698-701)
+        s = s + silu_s2
+        v = v + vu * gate3
+
+    if use_attention:
+        attn = jax.nn.sigmoid(
+            jnp.dot(s, wattn_ref[...], preferred_element_type=f32) + battn_ref[...].astype(f32)
+        ).astype(s.dtype)
+        s = s * attn
+
+    s_out_ref[...] = s
+    v_out_ref[...] = v
+
+
+def fused_gcp2_chain(
+    s: jax.Array,  # [E, S]
+    v: jax.Array,  # [E, 3*V] coords-major
+    frames_t: jax.Array,  # [E, 9] coordinate-major (k*3+a)
+    wd: jax.Array,  # [G, V, H]
+    wdf: jax.Array,  # [G, V, 3]
+    ws: jax.Array,  # [G, S+H+9, S]
+    bs: jax.Array,  # [G, S]
+    wu: jax.Array,  # [G, H, V]
+    wg: jax.Array,  # [G, S, V]
+    bg: jax.Array,  # [G, V]
+    wattn: jax.Array,  # [S, 1]
+    battn: jax.Array,  # [1]
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Run the residual GCP2 chain (+ scalar attention) over flat edges.
+
+    NOTE: ``frames_t`` is the TRANSPOSED frame layout (coordinate-major,
+    column k*3+a holds frame axis a's k-th coordinate).
+    """
+    e, s_dim = s.shape
+    v_dim = wd.shape[1]
+    hidden_dim = wd.shape[2]
+    num_gcps = wd.shape[0]
+
+    w_comb, wu_bd = pack_chain_weights(wd, wdf, wu)
+    w_comb = jnp.asarray(w_comb, s.dtype)
+    wu_bd = jnp.asarray(wu_bd, s.dtype)
+
+    block = min(block, max(256, e))
+    e_pad = ((e + block - 1) // block) * block
+    if e_pad != e:
+        pad = ((0, e_pad - e), (0, 0))
+        s = jnp.pad(s, pad)
+        v = jnp.pad(v, pad)
+        frames_t = jnp.pad(frames_t, pad)
+
+    grid = (e_pad // block,)
+
+    def edge_spec(width):
+        return pl.BlockSpec((block, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def full_spec(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _gcp2_chain_kernel,
+        num_gcps=num_gcps,
+        v_dim=v_dim,
+        hidden_dim=hidden_dim,
+        use_attention=True,
+    )
+
+    flops_per_edge = num_gcps * 2 * (
+        3 * v_dim * hidden_dim + 3 * v_dim * 3 + (s_dim + hidden_dim + 9) * s_dim
+        + s_dim * v_dim + 3 * hidden_dim * v_dim
+    )
+    cost = pl.CostEstimate(
+        flops=flops_per_edge * e_pad,
+        bytes_accessed=(s.size + v.size + frames_t.size) * 2 * s.dtype.itemsize,
+        transcendentals=e_pad * s_dim * num_gcps * 2,
+    )
+
+    s_out, v_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            edge_spec(s_dim),
+            edge_spec(3 * v_dim),
+            edge_spec(9),
+            full_spec(w_comb.shape),
+            full_spec(ws.shape),
+            full_spec(bs.shape),
+            full_spec(wu_bd.shape),
+            full_spec(wg.shape),
+            full_spec(bg.shape),
+            full_spec(wattn.shape),
+            full_spec(battn.shape),
+        ],
+        out_specs=[edge_spec(s_dim), edge_spec(3 * v_dim)],
+        out_shape=[
+            jax.ShapeDtypeStruct((e_pad, s_dim), s.dtype),
+            jax.ShapeDtypeStruct((e_pad, 3 * v_dim), v.dtype),
+        ],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(s, v, frames_t, w_comb, ws, bs, wu_bd, wg, bg, wattn, battn)
+
+    return s_out[:e], v_out[:e]
+
+
+# ---------------------------------------------------------------------------
+# Mega-kernel: one full message-passing layer (GCP1 + chain + attention +
+# masked aggregation) per (molecule, source-row-block) grid cell.
+#
+# Motivation (measured on TPU v5e over this runtime): effective HBM copy
+# bandwidth is ~150 GB/s, so every HBM materialization of edge tensors
+# dominates the step — and narrow-minor-dim tensors ([E, 3, H], [E, 9]) pad
+# to (sublane, 128) tiles, inflating traffic up to ~14x.  This kernel reads
+# ONE packed 128-lane-wide edge tensor (built once per forward: embedded
+# edge scalars | coords-major edge vectors | transposed frames | edge mask)
+# plus the per-node features, and writes only the aggregated per-node
+# messages.  All broadcasts (node -> edge) and the aggregation (edge ->
+# node) are selector matmuls, so nothing narrow ever touches HBM.
+# ---------------------------------------------------------------------------
+
+
+def pack_gcp1_weights(w1: dict, s_dim: int, v_dim: int, ve_dim: int, dtype=np.float32):
+    """Split + block-diagonalize the first message GCP's weights.
+
+    Input: the flax subtree of message_fusion_0 (same params as GCP2 over
+    the virtual concat [node_i | edge | node_j]).  Returns a dict of numpy
+    arrays keyed for fused_message_layer.
+    """
+    wd = np.asarray(w1["vector_down"]["kernel"], dtype)      # [2V+Ve, H]
+    wdf = np.asarray(w1["vector_down_frames"]["kernel"], dtype)  # [2V+Ve, 3]
+    ws = np.asarray(w1["scalar_out_head"]["scalar_out"]["kernel"], dtype)
+    bs = np.asarray(w1["scalar_out_head"]["scalar_out"]["bias"], dtype)
+    wu = np.asarray(w1["vector_up"]["kernel"], dtype)        # [H, Vout]
+    wg = np.asarray(w1["vector_out_scale"]["kernel"], dtype)
+    bg = np.asarray(w1["vector_out_scale"]["bias"], dtype)
+
+    h = wd.shape[1]
+    v_out = wu.shape[1]
+
+    def bd3(m):  # [a, b] -> [3a, 3b] block-diagonal
+        a, b = m.shape
+        out = np.zeros((3 * a, 3 * b), dtype)
+        for k in range(3):
+            out[k * a:(k + 1) * a, k * b:(k + 1) * b] = m
+        return out
+
+    wd_i, wd_e, wd_j = wd[:v_dim], wd[v_dim:v_dim + ve_dim], wd[v_dim + ve_dim:]
+    wdf_i, wdf_e, wdf_j = wdf[:v_dim], wdf[v_dim:v_dim + ve_dim], wdf[v_dim + ve_dim:]
+    se_dim = ws.shape[0] - 2 * s_dim - h - 9
+
+    return {
+        # node-side vector projections ([3V] coords-major in, [3H+9] out)
+        "wvi": np.concatenate([bd3(wd_i), bd3(wdf_i)], axis=1),
+        "wvj": np.concatenate([bd3(wd_j), bd3(wdf_j)], axis=1),
+        "wve": np.concatenate([bd3(wd_e), bd3(wdf_e)], axis=1),  # [3Ve, 3H+9]
+        "wsi": ws[:s_dim],
+        "wse": ws[s_dim: s_dim + se_dim],
+        "wsj": ws[s_dim + se_dim: 2 * s_dim + se_dim],
+        "wsvn": ws[2 * s_dim + se_dim: 2 * s_dim + se_dim + h],
+        "wssc": ws[2 * s_dim + se_dim + h:],
+        "bs": bs,
+        "wu_bd": bd3(wu)[: 3 * h],  # [3H, 3Vout]
+        "wg": wg,
+        "bg": bg,
+        "hidden": h,
+    }
+
+
+def _message_layer_kernel(
+    s_node_ref, v_node_ref, ep_ref,
+    # GCP1 weights
+    wvi_ref, wvj_ref, wve_ref, wsi_ref, wse_ref, wsj_ref, wsvn_ref, wssc_ref,
+    bs1_ref, wu1_ref, wg1_ref, bg1_ref,
+    # chain weights
+    wcomb_ref, wsc_ref, bsc_ref, wubd_ref, wgc_ref, bgc_ref, wattn_ref, battn_ref,
+    # outputs
+    s_agg_ref, v_agg_ref,
+    *, ti: int, n: int, s_dim: int, v_dim: int, ve_dim: int,
+    h1: int, hc: int, num_gcps: int,
+):
+    f32 = jnp.float32
+    rows = ti * n
+    s_n = s_node_ref[0]  # [N, S]
+    v_n = v_node_ref[0]  # [N, 3V]
+    ep = ep_ref[0]  # [TI*N, 128]
+    dt = s_n.dtype
+
+    se = wse_ref.shape[0]
+    e_feat = ep[:, :se]
+    xi = ep[:, se: se + 3 * ve_dim]
+    ft = ep[:, se + 3 * ve_dim: se + 3 * ve_dim + 9]
+    emask = ep[:, se + 3 * ve_dim + 9: se + 3 * ve_dim + 10]
+
+    # row/target selectors: R[r, a] = [r // N == a] ; T[r, j] = [r % N == j]
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, ti), 0)
+    a_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, ti), 1)
+    R = (r_idx // n == a_idx).astype(dt)
+    rj_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 0)
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 1)
+    T = (rj_idx % n == j_idx).astype(dt)
+
+    t = pl.program_id(1)
+    i0 = pl.multiple_of(t * ti, ti)
+    s_i = s_node_ref[0, pl.ds(i0, ti), :] if ti != n else s_n
+    v_i = v_node_ref[0, pl.ds(i0, ti), :] if ti != n else v_n
+
+    # scalarize selector matmuls (see chain kernel)
+    col = jax.lax.broadcasted_iota(jnp.int32, (3, 9), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (3, 9), 0)
+    rep3 = (col // 3 == row).astype(f32)
+    tile3 = (col % 3 == row).astype(f32)
+    ftiles = [
+        jnp.dot(ft[:, 3 * k: 3 * (k + 1)].astype(f32), tile3, preferred_element_type=f32)
+        for k in range(3)
+    ]
+
+    def scalarize(vdf_all):
+        return sum(
+            jnp.dot(vdf_all[:, 3 * k: 3 * (k + 1)], rep3, preferred_element_type=f32)
+            * ftiles[k]
+            for k in range(3)
+        )
+
+    # ---- GCP1 over the virtual concat ----
+    h3 = 3 * h1
+    vhd = (
+        jnp.dot(R, jnp.dot(v_i, wvi_ref[...], preferred_element_type=f32).astype(dt),
+                preferred_element_type=f32)
+        + jnp.dot(T, jnp.dot(v_n, wvj_ref[...], preferred_element_type=f32).astype(dt),
+                  preferred_element_type=f32)
+        + jnp.dot(xi, wve_ref[...], preferred_element_type=f32)
+    )  # [rows, 3H1+9]
+    vh_sq = sum(vhd[:, k * h1:(k + 1) * h1] ** 2 for k in range(3))
+    vnorm = jnp.sqrt(vh_sq + 1e-8) + 1e-8
+    schid = scalarize(vhd[:, h3:])
+
+    s2 = (
+        jnp.dot(R, jnp.dot(s_i, wsi_ref[...],
+                           preferred_element_type=f32).astype(dt), preferred_element_type=f32)
+        + jnp.dot(T, jnp.dot(s_n, wsj_ref[...], preferred_element_type=f32).astype(dt),
+                  preferred_element_type=f32)
+        + jnp.dot(e_feat, wse_ref[...], preferred_element_type=f32)
+        + jnp.dot(vnorm.astype(dt), wsvn_ref[...], preferred_element_type=f32)
+        + jnp.dot(schid.astype(dt), wssc_ref[...], preferred_element_type=f32)
+        + bs1_ref[...].astype(f32)
+    )
+    silu1 = jax.nn.silu(s2).astype(dt)
+    gate1 = jax.nn.sigmoid(
+        jnp.dot(silu1, wg1_ref[...], preferred_element_type=f32) + bg1_ref[...].astype(f32)
+    ).astype(dt)
+    vu1 = jnp.dot(vhd[:, :h3].astype(dt), wu1_ref[...], preferred_element_type=f32).astype(dt)
+    g3 = jnp.concatenate([gate1, gate1, gate1], axis=-1)
+    s = silu1
+    v = vu1 * g3
+
+    # ---- residual chain of secondary GCPs ----
+    hc3 = 3 * hc
+    for g in range(num_gcps):
+        vhd_g = jnp.dot(v, wcomb_ref[g], preferred_element_type=f32)
+        vh_sq = sum(vhd_g[:, k * hc:(k + 1) * hc] ** 2 for k in range(3))
+        vnorm_g = jnp.sqrt(vh_sq + 1e-8) + 1e-8
+        schid_g = scalarize(vhd_g[:, hc3:])
+        merged = jnp.concatenate(
+            [s.astype(f32), vnorm_g, schid_g], axis=-1
+        ).astype(dt)
+        s2_g = jnp.dot(merged, wsc_ref[g], preferred_element_type=f32) + bsc_ref[g].astype(f32)
+        silu_g = jax.nn.silu(s2_g).astype(dt)
+        gate_g = jax.nn.sigmoid(
+            jnp.dot(silu_g, wgc_ref[g], preferred_element_type=f32) + bgc_ref[g].astype(f32)
+        ).astype(dt)
+        vu_g = jnp.dot(vhd_g[:, :hc3].astype(dt), wubd_ref[g], preferred_element_type=f32).astype(dt)
+        s = s + silu_g
+        v = v + vu_g * jnp.concatenate([gate_g, gate_g, gate_g], axis=-1)
+
+    attn = jax.nn.sigmoid(
+        jnp.dot(s, wattn_ref[...], preferred_element_type=f32) + battn_ref[...].astype(f32)
+    ).astype(dt)
+    s = s * attn * emask
+    v = v * emask
+
+    # ---- masked aggregation over targets j: R^T @ messages ----
+    s_agg_ref[0] = jnp.dot(R.T, s, preferred_element_type=f32).astype(dt)
+    v_agg_ref[0] = jnp.dot(R.T, v, preferred_element_type=f32).astype(dt)
+
+
+def fused_message_layer(
+    s_node: jax.Array,  # [B, N, S]
+    v_node: jax.Array,  # [B, N, 3V] coords-major
+    epack: jax.Array,  # [B, N*N, P] packed [e | xi_cm | frames_t | mask | pad]
+    gcp1_w: dict,  # from pack_gcp1_weights (jnp arrays)
+    chain_w: tuple,  # (w_comb, ws, bs, wu_bd, wg, bg, wattn, battn)
+    ve_dim: int,
+    ti: Optional[int] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """One full message-passing layer -> aggregated node updates.
+
+    Returns (s_agg [B, N, S], v_agg [B, N, 3V]).
+    """
+    b, n, s_dim = s_node.shape
+    v3 = v_node.shape[-1]
+    v_dim = v3 // 3
+    p = epack.shape[-1]
+    h1 = gcp1_w["hidden"]
+    w_comb, wsc, bsc, wu_bd, wgc, bgc, wattn, battn = chain_w
+    hc = (w_comb.shape[2] - 9) // 3
+    num_gcps = w_comb.shape[0]
+
+    if ti is None:
+        ti = n if n * n <= 1200 else max(8, (1200 // n) // 8 * 8)
+    assert n % ti == 0, f"N={n} must be divisible by TI={ti}"
+
+    grid = (b, n // ti)
+
+    def nspec(width):
+        return pl.BlockSpec((1, n, width), lambda bb, tt: (bb, 0, 0), memory_space=pltpu.VMEM)
+
+    def espec():
+        return pl.BlockSpec((1, ti * n, p), lambda bb, tt: (bb, tt, 0), memory_space=pltpu.VMEM)
+
+    def ospec(width):
+        return pl.BlockSpec((1, ti, width), lambda bb, tt: (bb, tt, 0), memory_space=pltpu.VMEM)
+
+    def full_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda bb, tt: tuple(0 for _ in arr.shape),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _message_layer_kernel,
+        ti=ti, n=n, s_dim=s_dim, v_dim=v_dim, ve_dim=ve_dim,
+        h1=h1, hc=hc, num_gcps=num_gcps,
+    )
+
+    g1 = gcp1_w
+    weight_args = [
+        g1["wvi"], g1["wvj"], g1["wve"], g1["wsi"], g1["wse"], g1["wsj"],
+        g1["wsvn"], g1["wssc"], g1["bs"], g1["wu_bd"], g1["wg"], g1["bg"],
+        w_comb, wsc, bsc, wu_bd, wgc, bgc, wattn, battn,
+    ]
+
+    flops = b * n * n * 2 * (
+        (2 * s_dim + p + h1 + 9) * s_dim + num_gcps * (s_dim + hc + 9) * s_dim
+        + (num_gcps + 1) * (s_dim * v_dim + 3 * hc * v_dim)
+        + 2 * ti * (s_dim + v3)
+    )
+    cost = pl.CostEstimate(
+        flops=flops,
+        bytes_accessed=int(epack.size * epack.dtype.itemsize * 1.1),
+        transcendentals=b * n * n * s_dim * (num_gcps + 1) * 2,
+    )
+
+    s_agg, v_agg = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[nspec(s_dim), nspec(v3), espec()] + [full_spec(w) for w in weight_args],
+        out_specs=[ospec(s_dim), ospec(v3)],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, s_dim), s_node.dtype),
+            jax.ShapeDtypeStruct((b, n, v3), v_node.dtype),
+        ],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(s_node, v_node, epack, *weight_args)
+
+    return s_agg, v_agg

@@ -19,11 +19,35 @@ from bio_diffusion_tpu.chem.stability import batch_molecular_stability, ensure_b
 from bio_diffusion_tpu.models.distributions import CategoricalDistribution, NumNodesDistribution
 
 
+class FunctionDynamics:
+    """Parameter-free flax module wrapping a pure dynamics function.
+
+    Used by the fast inference path: the function closes over the weight
+    arrays (they become jit constants), so the wrapping EVD applies with an
+    empty variables dict.
+    """
+
+    def __new__(cls, fn):
+        from flax import linen as nn
+
+        class _FunctionDynamics(nn.Module):
+            @nn.compact
+            def __call__(self, z, t, node_mask, context=None, xh_self_cond=None,
+                         deterministic=True):
+                return fn(z, t, node_mask, context=context, xh_self_cond=xh_self_cond)
+
+        return _FunctionDynamics()
+
+
 class SegmentedSampler:
     """Jit-compiled segmented reverse-diffusion sampler for one EVD model.
 
     Compiles three executables (init noise, one segment scan, decode) per
     (batch, nodes) shape; reuses them across calls.
+
+    ``fast='auto'`` switches to the pure-function + Pallas-kernel forward
+    (models/gcpnet_fast.py) when the model configuration supports it; the
+    weights are baked as constants, so build one sampler per weight set.
 
     NOTE: ``params`` must be created via ``evd.init`` on a path that calls
     the dynamics network OUTSIDE lax.scan (the default ``__call__``/loss
@@ -31,12 +55,20 @@ class SegmentedSampler:
     ``mol_gen_sample`` would run flax initializers inside the scan trace.
     """
 
-    def __init__(self, evd, params, segment_size: int = 200):
+    def __init__(self, evd, params, segment_size: int = 200, fast: str = "auto",
+                 interpret: bool = False):
         self.evd = evd
         self.params = params
         self.segment_size = segment_size
         self.self_condition = evd.diffusion_cfg.self_condition
 
+        if fast in ("auto", True, "on"):
+            fast_evd = self._try_build_fast(evd, params, interpret)
+            if fast_evd is not None:
+                self.evd = fast_evd
+                self.params = {}
+
+        evd = self.evd
         self._init_fn = jax.jit(
             lambda p, k, m, fix: evd.apply(p, k, m, fix, method=evd.init_sample_noise),
             static_argnums=(3,),
@@ -53,6 +85,30 @@ class SegmentedSampler:
             ),
             static_argnums=(6,),
         )
+
+    @staticmethod
+    def _try_build_fast(evd, params, interpret: bool):
+        from bio_diffusion_tpu.models.gcpnet import GCPNetDynamics
+        from bio_diffusion_tpu.models.gcpnet_fast import make_fast_dynamics, supports_fast_path
+
+        dyn = evd.dynamics
+        if not isinstance(dyn, GCPNetDynamics):
+            return None
+        if not supports_fast_path(dyn.module_cfg, dyn.layer_cfg):
+            return None
+        if evd.diffusion_cfg.noise_schedule == "learned":
+            return None  # the EVD itself holds GammaNetwork params then
+        import jax
+
+        on_tpu = jax.devices()[0].platform == "tpu"
+        fwd = make_fast_dynamics(
+            dyn.model_cfg, dyn.module_cfg, dyn.layer_cfg, dyn.diffusion_cfg,
+            dyn.dataloader_cfg, params,
+            compute_dtype=dyn.compute_dtype,
+            use_pallas=on_tpu or interpret,
+            interpret=interpret,
+        )
+        return evd.clone(dynamics=FunctionDynamics(fwd))
 
     def run(
         self,
