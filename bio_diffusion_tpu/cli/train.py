@@ -29,6 +29,7 @@ def main(argv=None):
     workdir = None
     max_epochs = None
     max_steps = None
+    profile_dir = None
     for arg in argv:
         if arg.startswith("--config-dir="):
             config_dir = arg.split("=", 1)[1]
@@ -40,6 +41,8 @@ def main(argv=None):
             max_epochs = int(arg.split("=", 1)[1])
         elif arg.startswith("--max-steps="):
             max_steps = int(arg.split("=", 1)[1])
+        elif arg.startswith("--profile="):
+            profile_dir = arg.split("=", 1)[1]
         else:
             overrides.append(arg)
 
@@ -53,7 +56,10 @@ def main(argv=None):
              f"layers={exp.model_cfg.num_encoder_layers}, workdir={workdir}")
 
     trainer = Trainer(exp, workdir)
-    trainer.fit(max_epochs=max_epochs, max_steps=max_steps)
+    from bio_diffusion_tpu.utils.profiling import profile_trace
+
+    with profile_trace(profile_dir):
+        trainer.fit(max_epochs=max_epochs, max_steps=max_steps)
 
     if cfg.get("test"):
         metrics = trainer.validate(epoch=-1, split="test")
