@@ -229,6 +229,13 @@ def fused_gcp2_chain(
 # Mega-kernel: one full message-passing layer (GCP1 + chain + attention +
 # masked aggregation) per (molecule, source-row-block) grid cell.
 #
+# Measured design note: a variant batching several molecules per grid cell
+# (shared matmuls + block-diagonal selectors) was tried and REGRESSED
+# (12.2x vs 17.9x baseline): Mosaic's divisibility rules then force the
+# node axis to pad to a multiple of 8 (19 -> 24 for the QM9 bench shapes,
+# +60% edge compute), which outweighs the per-program overhead it saves.
+# One-molecule 3D blocks are exempt from the rule (block == full dim).
+#
 # Motivation (measured on TPU v5e over this runtime): effective HBM copy
 # bandwidth is ~150 GB/s, so every HBM materialization of edge tensors
 # dominates the step — and narrow-minor-dim tensors ([E, 3, H], [E, 9]) pad
