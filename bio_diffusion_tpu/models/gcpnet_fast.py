@@ -282,6 +282,20 @@ def make_fast_dynamics(
     cdt = jnp.dtype(compute_dtype) if compute_dtype else jnp.float32
 
     def forward(xh, t, node_mask, context=None, xh_self_cond=None, deterministic=True):
+        # large molecules need sub-molecule kernel tiles, whose output blocks
+        # require the node axis to divide into multiples of 8 — pad minimally
+        # (masked rows; results unchanged).  Small molecules (n*n <= 1200)
+        # use whole-molecule blocks and stay unpadded.
+        n_orig = node_mask.shape[-1]
+        n_pad = ((-n_orig) % 8) if (use_pallas and n_orig * n_orig > 1200) else 0
+        if n_pad:
+            padw = ((0, 0), (0, n_pad), (0, 0))
+            xh = jnp.pad(xh, padw)
+            node_mask = jnp.pad(node_mask, ((0, 0), (0, n_pad)))
+            if context is not None:
+                context = jnp.pad(context, padw)
+            if xh_self_cond is not None:
+                xh_self_cond = jnp.pad(xh_self_cond, padw)
         mask_f = node_mask.astype(xh.dtype)
         xh = xh * mask_f[..., None]
         x_init = xh[..., :nx]
@@ -395,6 +409,9 @@ def make_fast_dynamics(
         vel_ok = jnp.all(jnp.isfinite(vel))
         vel = jnp.where(vel_ok, vel, jnp.zeros_like(vel))
         _, vel = centralize(vel, node_mask)
-        return jnp.concatenate([vel, h_out], -1)
+        out = jnp.concatenate([vel, h_out], -1)
+        if n_pad:
+            out = out[:, :n_orig]
+        return out
 
     return forward

@@ -436,8 +436,18 @@ def fused_message_layer(
     num_gcps = w_comb.shape[0]
 
     if ti is None:
-        ti = n if n * n <= 1200 else max(8, (1200 // n) // 8 * 8)
-    assert n % ti == 0, f"N={n} must be divisible by TI={ti}"
+        if n * n <= 1200:
+            ti = n
+        else:
+            # sub-molecule tiling: output blocks (1, ti, S) need ti % 8 == 0,
+            # so large molecules require n % 8 == 0 (callers pad; see
+            # gcpnet_fast.forward)
+            ti = max(8, (1200 // n) // 8 * 8)
+            while n % ti != 0 and ti > 8:
+                ti -= 8
+    assert n % ti == 0, (
+        f"N={n} has no legal tile TI={ti}; pad N to a multiple of 8 for large molecules"
+    )
 
     grid = (b, n // ti)
 

@@ -60,3 +60,26 @@ def test_fast_forward_matches_module(key, conditioning, self_condition):
     assert np.allclose(np.asarray(out_k), np.asarray(expected), atol=3e-5), (
         np.abs(np.asarray(out_k) - np.asarray(expected)).max()
     )
+
+
+def test_fast_forward_large_molecules(key):
+    """GEOM-scale molecules exercise the sub-molecule tile + padding path."""
+    net, cfgs = build()
+    mc, mod, lc, dc, dl = cfgs
+    B, N = 2, 44  # n*n > 1200 -> tiled kernel; 44 % 8 != 0 -> padded
+    rng = np.random.default_rng(1)
+    mask = jnp.asarray(
+        np.stack([np.ones(N), np.concatenate([np.ones(N - 5), np.zeros(5)])]),
+        dtype=jnp.float32,
+    )
+    x = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32)) * mask[..., None]
+    _, x = centralize(x, mask)
+    h = jnp.asarray(rng.normal(size=(B, N, 6)).astype(np.float32)) * mask[..., None]
+    xh = jnp.concatenate([x, h], -1)
+    t = jnp.full((B, 1), 0.3)
+    params = net.init(key, xh, t, mask)
+    expected = net.apply(params, xh, t, mask)
+    fwd = make_fast_dynamics(mc, mod, lc, dc, dl, params, compute_dtype=None,
+                             use_pallas=True, interpret=True)
+    out = fwd(xh, t, mask)
+    assert np.allclose(np.asarray(out), np.asarray(expected), atol=3e-5)
