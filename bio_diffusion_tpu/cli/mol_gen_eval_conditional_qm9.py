@@ -92,6 +92,38 @@ def main(argv=None):
     key = jax.random.PRNGKey(exp.seed)
     batch_size = int(cfg.get("batch_size", 100))
     iterations = int(cfg.get("iterations", 100))
+
+    if str(cfg.get("task", "edm")) == "qualitative":
+        # property sweep with FIXED noise: a linspace of property values over
+        # 19-node molecules, visualized as a chain GIF (reference
+        # sample_sweep_conditionally, models/__init__.py:201-261)
+        from bio_diffusion_tpu.chem.molecule import save_xyz_files
+        from bio_diffusion_tpu.chem.visualization import visualize_chain
+        from bio_diffusion_tpu.config.build import get_dataset_info_for
+
+        dataset_info = get_dataset_info_for(exp)
+        num_frames = int(cfg.get("sweep_n_frames", 100))
+        num_sweeps = int(cfg.get("num_sweeps", 10))
+        out_root = str(cfg.get("output_dir", "outputs/conditional_sweeps"))
+        n_nodes = 19
+        dist = props_distr.distributions[prop][n_nodes]
+        lo, hi = dist["params"]
+        ctx_vals = (np.linspace(lo, hi, num_frames) - mean) / mad
+        for sweep in range(num_sweeps):
+            node_mask = jnp.asarray(make_node_mask(np.full(num_frames, n_nodes), n_nodes))
+            context = jnp.asarray(
+                np.broadcast_to(ctx_vals[:, None, None], (num_frames, n_nodes, 1)).copy()
+                .astype(np.float32)
+            )
+            key, k = jax.random.split(key)
+            xh = sampler.run(k, node_mask, context=context, fix_noise=True)
+            out_dir = os.path.join(out_root, prop, f"sweep_{sweep}")
+            save_xyz_files(out_dir, xh[..., :3], xh[..., 3:8], np.asarray(node_mask),
+                           dataset_info, name="conditional")
+            visualize_chain(out_dir, dataset_info)
+            log.info(f"sweep {sweep + 1}/{num_sweeps} written to {out_dir}")
+        print(json.dumps({"property": prop, "sweeps": num_sweeps}))
+        return {"property": prop, "sweeps": num_sweeps}
     num_timesteps = cfg.get("num_timesteps")
     num_timesteps = int(num_timesteps) if num_timesteps else None
 

@@ -112,6 +112,80 @@ def _gcp2_apply_cm(w: Dict[str, Any], s: Array, v_cm: Optional[Array], frames: A
     return s_out, v_out
 
 
+def _bd3(m: Array) -> Array:
+    """[a, b] -> [3a, 3b] block diagonal (host-side small weights)."""
+    a, b = m.shape
+    out = jnp.zeros((3 * a, 3 * b), m.dtype)
+    for k in range(3):
+        out = out.at[k * a:(k + 1) * a, k * b:(k + 1) * b].set(m)
+    return out
+
+
+def _gcp2_edge_wide(w: Dict[str, Any], s_e: Array, v_cm: Array, frames_t_flat: Array,
+                    gate_act: Optional[str] = "silu") -> Tuple[Array, Array]:
+    """Edge-input GCP2 evaluated on WIDE flat tensors only.
+
+    Avoids materializing narrow-minor-dim intermediates ([E, 3, H], [E, 9]
+    as 5D/4D tensors) that tile-pad in HBM: vectors stay flattened
+    coords-major [E, 3V]; per-coordinate projections become block-diagonal
+    matmuls; the scalarize uses the same repeat/tile selector construction
+    as the Pallas kernels.
+
+    Args: s_e [B,N,N,Se], v_cm [B,N,N,3,Ve], frames_t_flat [E, 9]
+    (coordinate-major k*3+a).  Returns (s_out [B,N,N,S], v_out [B,N,N,3,V]).
+    """
+    dt = s_e.dtype
+    b, n = s_e.shape[0], s_e.shape[1]
+    e_cnt = b * n * n
+    ve = v_cm.shape[-1]
+    s_flat = s_e.reshape(e_cnt, s_e.shape[-1])
+    v_flat = v_cm.reshape(e_cnt, 3 * ve)
+
+    wd = w["vector_down"]["kernel"].astype(dt)  # [Ve, H]
+    h = wd.shape[1]
+    wdf = w["vector_down_frames"]["kernel"].astype(dt)  # [Ve, 3]
+    w_comb = jnp.concatenate([_bd3(wd), _bd3(wdf)], axis=1)  # [3Ve, 3H+9]
+    vhd = v_flat @ w_comb  # [E, 3H+9]
+    vh_sq = sum(vhd[:, k * h:(k + 1) * h] ** 2 for k in range(3))
+    vnorm = _safe_norm_last(vh_sq)
+
+    # scalarize via selector matmuls: schid[:, c*3+a] = sum_k vdf_k[:, c] * f[a, k]
+    col = jnp.arange(9)[None, :]
+    row = jnp.arange(3)[:, None]
+    rep3 = (col // 3 == row).astype(dt)
+    tile3 = (col % 3 == row).astype(dt)
+    h3 = 3 * h
+    schid = sum(
+        (vhd[:, h3 + 3 * k: h3 + 3 * (k + 1)] @ rep3)
+        * (frames_t_flat[:, 3 * k: 3 * (k + 1)].astype(dt) @ tile3)
+        for k in range(3)
+    )
+
+    head = w["scalar_out_head"]
+    ws = head["scalar_out"]["kernel"].astype(dt)
+    se_dim = s_flat.shape[-1]
+    s2 = (
+        s_flat @ ws[:se_dim]
+        + vnorm.astype(dt) @ ws[se_dim: se_dim + h]
+        + schid @ ws[se_dim + h:]
+        + head["scalar_out"]["bias"].astype(dt)
+    )
+
+    wu_bd = _bd3(w["vector_up"]["kernel"].astype(dt))  # [3H, 3Vout]
+    v_out_flat = vhd[:, :h3] @ wu_bd  # [E, 3Vout]
+    v_out_dim = w["vector_up"]["kernel"].shape[1]
+    gate_in = jax.nn.silu(s2) if gate_act == "silu" else s2
+    gate = jax.nn.sigmoid(
+        gate_in @ w["vector_out_scale"]["kernel"].astype(dt)
+        + w["vector_out_scale"]["bias"].astype(dt)
+    )
+    v_out_flat = v_out_flat * jnp.concatenate([gate, gate, gate], axis=-1)
+
+    s_out = jax.nn.silu(s2).reshape(b, n, n, -1)
+    v_out = v_out_flat.reshape(b, n, n, 3, v_out_dim)
+    return s_out, v_out
+
+
 def _stack_chain_weights(mp: Dict[str, Any], num_message_layers: int, dtype):
     names = [f"message_fusion_{i}" for i in range(1, num_message_layers)]
     def get(name, *path):
@@ -336,9 +410,15 @@ def make_fast_dynamics(
         ev_cm = jnp.swapaxes(e_v, -1, -2).astype(cdt)  # [B,N,N,3,Ve]
 
         emb = dyn["gcp_embedding"]
-        e_emb, xi_emb = _gcp2_apply_cm(
-            emb["edge_embedding"], e_s, ev_cm, f_ij_c, scalar_act=True
-        )
+        if use_pallas:
+            frames_t_flat = jnp.swapaxes(f_ij, -1, -2).reshape(b * n * n, 9).astype(cdt)
+            e_emb, xi_emb = _gcp2_edge_wide(
+                emb["edge_embedding"], e_s, ev_cm, frames_t_flat, gate_act="silu"
+            )
+        else:
+            e_emb, xi_emb = _gcp2_apply_cm(
+                emb["edge_embedding"], e_s, ev_cm, f_ij_c, scalar_act=True
+            )
         h_emb, chi_emb = _gcp2_apply_cm(
             emb["node_embedding"], h, chi_cm, f_node_c, scalar_act=False, gate_act=None
         )

@@ -83,3 +83,22 @@ class MetricLoggers:
     def log(self, metrics: Dict[str, Any], step: int, epoch: Optional[int] = None):
         for l in self.loggers:
             l.log(metrics, step=step, epoch=epoch)
+
+
+def grad_flow_summary(grads) -> Dict[str, float]:
+    """Per-layer mean absolute gradients (reference log_grad_flow_lite,
+    src/models/__init__.py:132-161 — the gradient-vanishing diagnostic).
+
+    Returns {dotted/param/path: mean |grad|}, cheap enough to log every N
+    steps; pair with CSV/wandb loggers.
+    """
+    import jax
+    import numpy as np
+
+    out = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(grads):
+        name = jax.tree_util.keystr(path).strip("[]'").replace("']['", "/")
+        if "bias" in name:
+            continue
+        out[name] = float(np.mean(np.abs(np.asarray(leaf))))
+    return out
