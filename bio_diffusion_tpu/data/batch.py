@@ -154,6 +154,14 @@ def iterate_dense_batches(
     charges = dataset.data["charges"]
     one_hot = dataset.data["one_hot"]
 
+    use_native = False
+    try:
+        from bio_diffusion_tpu.data.native_loader import collate_dense_native, native_available
+
+        use_native = native_available()
+    except Exception:
+        pass
+
     for start in range(0, m, batch_size):
         sel = idx[start: start + batch_size]
         if len(sel) < batch_size and drop_last:
@@ -163,19 +171,28 @@ def iterate_dense_batches(
             int(num_atoms.max()), bucket_sizes, pad_to_multiple
         )
         b = len(sel)
-        x = np.zeros((b, n_pad, 3), dtype=np.float32)
-        oh = np.zeros((b, n_pad, one_hot.shape[-1]), dtype=np.float32)
-        ch = np.zeros((b, n_pad, 1), dtype=np.float32)
-        mask = np.zeros((b, n_pad), dtype=np.float32)
-        src_n = min(n_pad, positions.shape[1])
-        x[:, :src_n] = positions[sel][:, :src_n]
-        oh[:, :src_n] = one_hot[sel][:, :src_n]
-        ch[:, :src_n, 0] = charges[sel][:, :src_n]
-        node_present = (charges[sel][:, :src_n] > 0).astype(np.float32)
-        mask[:, :src_n] = node_present
-        # zero out padded coordinate rows (missing nodes carry no geometry)
-        x *= mask[..., None]
-        oh *= mask[..., None]
+        native = None
+        if use_native:
+            native = collate_dense_native(
+                positions, charges, sel, n_pad, dataset.included_species
+            )
+        if native is not None:
+            x, oh, ch2, mask = native
+            ch = ch2[..., None]
+        else:
+            x = np.zeros((b, n_pad, 3), dtype=np.float32)
+            oh = np.zeros((b, n_pad, one_hot.shape[-1]), dtype=np.float32)
+            ch = np.zeros((b, n_pad, 1), dtype=np.float32)
+            mask = np.zeros((b, n_pad), dtype=np.float32)
+            src_n = min(n_pad, positions.shape[1])
+            x[:, :src_n] = positions[sel][:, :src_n]
+            oh[:, :src_n] = one_hot[sel][:, :src_n]
+            ch[:, :src_n, 0] = charges[sel][:, :src_n]
+            node_present = (charges[sel][:, :src_n] > 0).astype(np.float32)
+            mask[:, :src_n] = node_present
+            # zero out padded coordinate rows (missing nodes carry no geometry)
+            x *= mask[..., None]
+            oh *= mask[..., None]
 
         ctx = None
         if conditioning:

@@ -131,12 +131,17 @@ def collate_dense_native(
     n_pad: int,
     species: np.ndarray,  # [K] int64
 ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
-    """One-pass padded collation; None when the native lib is unavailable."""
+    """One-pass padded collation; None when the native lib is unavailable
+    or when the source arrays would require a full-dataset copy (wrong
+    dtype/layout) — callers fall back to numpy then."""
     lib = _load_lib()
     if lib is None:
         return None
-    positions = np.ascontiguousarray(positions, np.float64)
-    charges = np.ascontiguousarray(charges, np.int64)
+    if not (
+        positions.dtype == np.float64 and positions.flags.c_contiguous
+        and charges.dtype == np.int64 and charges.flags.c_contiguous
+    ):
+        return None
     sel = np.ascontiguousarray(sel, np.int64)
     species = np.ascontiguousarray(species, np.int64)
     b = len(sel)
