@@ -17,7 +17,7 @@ Known reference bugs intentionally FIXED here (documented per SURVEY.md):
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +25,7 @@ import numpy as np
 from flax import linen as nn
 
 from bio_diffusion_tpu.config.schema import DataloaderConfig, DiffusionConfig, compute_num_atom_types
-from bio_diffusion_tpu.models.nn import Linear
+
 from bio_diffusion_tpu.ops.geometry import centralize
 from bio_diffusion_tpu.ops.schedules import predefined_gamma_table
 

@@ -21,7 +21,7 @@ the same params).
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Any, Dict, Optional, Tuple
 
 import jax
