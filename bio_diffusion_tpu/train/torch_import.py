@@ -118,8 +118,9 @@ def convert_state_dict(state_dict: Dict[str, Any]) -> Dict[str, np.ndarray]:
             elif arr.ndim == 2:
                 path = path[:-1] + ["kernel"]  # torch Linear [out, in] -> [in, out]
                 arr = arr.T
-            elif arr.ndim == 1:
-                path = path[:-1] + ["scale"]  # LayerNorm weight
+            elif arr.ndim == 1 and len(path) >= 2 and path[-2] == "scalar_norm":
+                path = path[:-1] + ["scale"]  # flax LayerNorm scale
+            # (1-D 'weight' elsewhere, e.g. GraphLayerNorm, keeps its name)
         flat["/".join(path)] = arr
     return flat
 
@@ -219,7 +220,7 @@ def export_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
         if leaf == "kernel":
             parts = parts[:-1] + ["weight"]
             arr = arr.T
-        elif leaf == "scale":
+        elif leaf == "scale" and len(parts) >= 2 and parts[-2] == "scalar_norm":
             parts = parts[:-1] + ["weight"]
         elif leaf == "embedding":
             parts = parts[:-1] + ["weight"]
@@ -228,6 +229,10 @@ def export_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
         # path renames
         name_parts: List[str] = []
         for p in parts:
+            m_egnn = re.fullmatch(r"egnn_mpnn_layers_(\d+)", p)
+            if m_egnn:
+                name_parts.extend(["egnn", "mpnn_layers", m_egnn.group(1)])
+                continue
             if p == "dynamics":
                 name_parts.append("dynamics_network")
             elif p == "scalar_out_head":

@@ -77,3 +77,35 @@ def test_irrelevant_keys_skipped(key):
     sd["ddpm.num_nodes_distribution.prob"] = np.zeros(3)
     out = import_state_dict(sd, params, strict=True)
     assert out is not None
+
+
+def test_egnn_dynamics_roundtrip(key):
+    """The EGNN dynamics param paths (egnn.mpnn_layers.<i>.edge_mlp.<j>...)
+    must round-trip through the torch name mapping too."""
+    from bio_diffusion_tpu.models.egnn import EGNNDynamics
+    from bio_diffusion_tpu.models.diffusion import EquivariantVariationalDiffusion
+
+    dc = DiffusionConfig(num_timesteps=10, dynamics_network="egnn")
+    dl = DataloaderConfig()
+    net = EGNNDynamics(
+        model_cfg=ModelConfig(h_hidden_dim=16, e_hidden_dim=8, num_encoder_layers=2),
+        module_cfg=ModuleConfig(), layer_cfg=LayerConfig(),
+        diffusion_cfg=dc, dataloader_cfg=dl,
+    )
+    evd = EquivariantVariationalDiffusion(dynamics=net, diffusion_cfg=dc, dataloader_cfg=dl)
+    B, N = 2, 6
+    mask = jnp.ones((B, N))
+    x = jax.random.normal(key, (B, N, 3))
+    _, x = centralize(x, mask)
+    params = evd.init(key, x, jnp.zeros((B, N, 5)), jnp.zeros((B, N, 1)), mask, key, training=True)
+
+    sd = export_state_dict(params)
+    assert any(".egnn.mpnn_layers.0.edge_mlp.0.weight" in k for k in sd), sorted(sd)[:5]
+    sd2 = {k: v + 1.0 for k, v in sd.items()}
+    imported = import_state_dict(sd2, params, strict=True)
+    for (pa, la), (pb, lb) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(imported),
+    ):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        assert np.allclose(np.asarray(lb), np.asarray(la) + 1.0), jax.tree_util.keystr(pa)
