@@ -10,6 +10,7 @@ Overrides use the reference's Hydra syntax subset: group selections
 
 from __future__ import annotations
 
+import os
 import sys
 
 from bio_diffusion_tpu.config.build import build_experiment
@@ -57,9 +58,14 @@ def main(argv=None):
 
     trainer = Trainer(exp, workdir)
     from bio_diffusion_tpu.utils.profiling import profile_trace
+    import time as _time
 
+    t_start = _time.time()
     with profile_trace(profile_dir):
         trainer.fit(max_epochs=max_epochs, max_steps=max_steps)
+    # execution-time record (reference task_wrapper, utils/utils.py:56-58)
+    with open(os.path.join(workdir, "exec_time.log"), "w") as f:
+        f.write(f"{_time.time() - t_start:.2f}s\n")
 
     if cfg.get("test"):
         metrics = trainer.validate(epoch=-1, split="test")
