@@ -2,7 +2,10 @@
 
 Usage:
   python -m bio_diffusion_tpu.cli.mol_gen_sample ckpt_path=... num_samples=250 \
-      [num_nodes=19] [num_timesteps=1000] [ddpm_mode=inpainting] [k=v ...]
+      [num_nodes=19] [num_timesteps=1000] [ddpm_mode=inpainting|chain] [k=v ...]
+
+``ddpm_mode=chain`` writes one molecule's denoising chain as per-frame xyz
+files + output.gif (reference sample_chain_and_save).
 
 Writes per-molecule .xyz files (+ one .sdf when RDKit is available) and
 prints stability metrics of the generated batch.
@@ -70,6 +73,37 @@ def main(argv=None):
             num_timesteps, method=evd.inpaint,
         )
         xh, node_mask = np.asarray(xh), np.asarray(node_mask)
+    elif ddpm_mode == "chain":
+        # denoising-chain visualization (reference sample_chain_and_save,
+        # qm9_mol_gen_ddpm.py:956-1060): one molecule, all T intermediate
+        # states collected from the reverse scan, subsampled to keep_frames
+        # xyz files + a GIF.
+        num_nodes = cfg.get("num_nodes")
+        sizes = (
+            np.full(1, int(num_nodes)) if num_nodes else nodes_dist.sample(1, rng)
+        )
+        node_mask = jnp.asarray(make_node_mask(sizes, int(sizes.max())))
+        T_s = num_timesteps or evd.T
+        chain_fn = jax.jit(
+            lambda p, k, m: evd.apply(
+                p, k, m, num_timesteps=T_s, return_frames=T_s,
+                method=evd.mol_gen_sample,
+            )
+        )
+        xh, frames = chain_fn(params, key, node_mask)
+        xh, frames, node_mask = np.asarray(xh), np.asarray(frames), np.asarray(node_mask)
+
+        from bio_diffusion_tpu.chem.visualization import save_chain_frames, visualize_chain
+
+        chain_dir = os.path.join(
+            str(cfg.get("output_dir", "outputs/mol_gen_sample")),
+            datetime.datetime.now().strftime("%Y%m%d_%H%M%S"), "chain",
+        )
+        save_chain_frames(
+            frames[:, 0], node_mask[0], dataset_info, chain_dir,
+            keep_frames=int(cfg.get("keep_frames", 100)),
+        )
+        visualize_chain(chain_dir, dataset_info)
     else:
         num_nodes = cfg.get("num_nodes")
         if num_nodes:

@@ -71,3 +71,22 @@ def test_sample_cli_from_trained_checkpoint(tmp_path, capsys):
     assert "mol_stable" in metrics
     xyz = [f for root, _, fs in os.walk(out_dir) for f in fs if f.endswith(".xyz")]
     assert len(xyz) == 4
+
+
+def test_sample_cli_chain_mode(tmp_path):
+    """ddpm_mode=chain writes subsampled chain frames + a GIF (reference
+    sample_chain_and_save, qm9_mol_gen_ddpm.py:956-1060)."""
+    from bio_diffusion_tpu.cli.mol_gen_sample import main as sample_main
+
+    out_dir = str(tmp_path / "chain")
+    metrics = sample_main(TINY + [
+        "ddpm_mode=chain", "num_nodes=6", "keep_frames=5",
+        f"output_dir={out_dir}",
+    ])
+    assert "mol_stable" in metrics
+    frames = [f for root, _, fs in os.walk(out_dir) for f in fs
+              if f.startswith("chain") and f.endswith(".xyz")]
+    # 5 kept frames (stride 2 over T=10) + 10 repeats of the final frame
+    assert len(frames) == 15
+    gifs = [f for root, _, fs in os.walk(out_dir) for f in fs if f.endswith(".gif")]
+    assert len(gifs) == 1
