@@ -214,6 +214,15 @@ def from_dict(cls, data: Dict[str, Any]):
     if data is None:
         return cls()
     defaults = cls()
+    known = {f.name for f in dataclasses.fields(cls)}
+    meta = {"_target_", "_partial_", "_convert_", "_recursive_", "defaults"}
+    for k in data:
+        if k not in known and k not in meta and not k.startswith("_"):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                f"{cls.__name__}: ignoring unknown config key '{k}'"
+            )
     kwargs = {}
     for f in dataclasses.fields(cls):
         if f.name not in data:

@@ -210,6 +210,26 @@ class Trainer:
         )
         self.loggers.log({f"val/{k}": v for k, v in metrics.items()}, int(self.state.step), epoch)
         log.info(f"Sampling eval @epoch {epoch}: {metrics}")
+
+        # periodic sample visualization (reference sample_and_save,
+        # qm9_mol_gen_ddpm.py:887-954): dump the first few sampled molecules
+        # as xyz + rendered PNGs under <workdir>/media/epoch_<e>
+        viz_every = exp.diffusion_cfg.visualize_sample_epochs
+        if viz_every and epoch % viz_every == 0:
+            try:
+                from bio_diffusion_tpu.chem.molecule import save_xyz_files
+                from bio_diffusion_tpu.chem.visualization import visualize_mols
+
+                n_viz = min(exp.diffusion_cfg.num_visualization_samples, len(xh))
+                media_dir = os.path.join(self.workdir, "media", f"epoch_{epoch}")
+                k = len(self.dataset_info["atom_decoder"])
+                save_xyz_files(
+                    media_dir, xh[:n_viz, :, :3], xh[:n_viz, :, 3:3 + k],
+                    node_mask[:n_viz], self.dataset_info,
+                )
+                visualize_mols(media_dir, self.dataset_info, max_num=n_viz)
+            except Exception as e:  # viz is best-effort; never kill training
+                log.warning(f"sample visualization failed: {e}")
         return metrics
 
     # -- fit --------------------------------------------------------------------
