@@ -31,6 +31,7 @@ def main(argv=None):
     max_epochs = None
     max_steps = None
     profile_dir = None
+    dump_graph = False
     for arg in argv:
         if arg.startswith("--config-dir="):
             config_dir = arg.split("=", 1)[1]
@@ -44,6 +45,8 @@ def main(argv=None):
             max_steps = int(arg.split("=", 1)[1])
         elif arg.startswith("--profile="):
             profile_dir = arg.split("=", 1)[1]
+        elif arg == "--dump-graph":
+            dump_graph = True
         else:
             overrides.append(arg)
 
@@ -57,6 +60,27 @@ def main(argv=None):
              f"layers={exp.model_cfg.num_encoder_layers}, workdir={workdir}")
 
     trainer = Trainer(exp, workdir)
+    if dump_graph:
+        # compiler's-eye view of the denoiser forward (TPU-native counterpart
+        # of the reference's torchviz dump, utils/__init__.py:53-68)
+        import jax
+        import jax.numpy as jnp
+
+        from bio_diffusion_tpu.utils.profiling import dump_computation_graph
+
+        trainer.init_state()
+        b, n = 2, int(trainer.dataset_info["max_n_nodes"])
+        k = len(trainer.dataset_info["atom_decoder"])
+        nf = 3 + k + (1 if exp.dataloader_cfg.include_charges else 0)
+        z = jnp.zeros((b, n, nf))
+        paths = dump_computation_graph(
+            lambda z: trainer.evd_sample.dynamics.apply(
+                {"params": trainer.state.params["params"]["dynamics"]},
+                z, jnp.zeros((b, 1)), jnp.ones((b, n)),
+            ),
+            (z,), os.path.join(workdir, "graph"), name="dynamics",
+        )
+        log.info(f"Wrote computation graphs: {paths}")
     from bio_diffusion_tpu.utils.profiling import profile_trace
     import time as _time
 

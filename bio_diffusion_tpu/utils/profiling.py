@@ -68,3 +68,35 @@ class StepTimer:
 
 
 import jax  # noqa: E402  (used by StepTimer.stop)
+
+
+def dump_computation_graph(fn, args, out_dir: str, name: str = "forward") -> dict:
+    """Write the jaxpr and optimized HLO of ``fn(*args)`` to text files.
+
+    TPU-native counterpart of the reference's torchviz graph dump
+    (utils/__init__.py:53-68, hooked behind a flag in the EVD forward):
+    instead of an autograd graph PNG we save what the compiler actually
+    sees — the traced jaxpr and the post-optimization HLO module.
+    Returns {'jaxpr': path, 'hlo': path}.
+    """
+    import os
+
+    import jax
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {}
+    jaxpr_path = os.path.join(out_dir, f"{name}.jaxpr.txt")
+    with open(jaxpr_path, "w") as f:
+        f.write(str(jax.make_jaxpr(fn)(*args)))
+    paths["jaxpr"] = jaxpr_path
+
+    lowered = jax.jit(fn).lower(*args)
+    hlo_path = os.path.join(out_dir, f"{name}.hlo.txt")
+    try:
+        text = lowered.compile().as_text()
+    except Exception:  # fall back to pre-optimization StableHLO
+        text = lowered.as_text()
+    with open(hlo_path, "w") as f:
+        f.write(text)
+    paths["hlo"] = hlo_path
+    return paths

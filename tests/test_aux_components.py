@@ -133,3 +133,16 @@ def test_config_loader_composition():
     cfg3 = load_config(default_config_dir(), "train", ["experiment=qm9_mol_gen_conditional_ddpm"])
     assert cfg3["model"]["module_cfg"]["conditioning"] == ["alpha"]
     assert cfg3["datamodule"]["dataloader_cfg"]["include_charges"] is False
+
+
+def test_dump_computation_graph(tmp_path):
+    import jax.numpy as jnp
+
+    from bio_diffusion_tpu.utils.profiling import dump_computation_graph
+
+    paths = dump_computation_graph(
+        lambda x: jnp.tanh(x) @ x.T, (jnp.ones((4, 8)),), str(tmp_path)
+    )
+    jaxpr = open(paths["jaxpr"]).read()
+    hlo = open(paths["hlo"]).read()
+    assert "tanh" in jaxpr and len(hlo) > 100
