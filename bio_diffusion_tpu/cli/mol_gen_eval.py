@@ -72,8 +72,19 @@ def main(argv=None):
             from bio_diffusion_tpu.data.batch import iterate_dense_batches
             from bio_diffusion_tpu.train.step import make_eval_step
 
+            nll_evd, nll_params = evd, params
+            if cfg.get("fast_nll", False):
+                # opt-in: run the NLL forward through the baked-weight fast
+                # path (bf16 body + Pallas kernels); reported NLL may differ
+                # from the f32 module path at ~1e-3 level
+                from bio_diffusion_tpu.train.sampling import build_fast_evd
+
+                fast = build_fast_evd(evd, params)
+                if fast is not None:
+                    nll_evd, nll_params = fast, {}
+                    log.info("NLL evaluation using the fast inference path")
             eval_step = make_eval_step(
-                evd, exp.diffusion_cfg, exp.dataloader_cfg, nodes_dist.log_prob_table
+                nll_evd, exp.diffusion_cfg, exp.dataloader_cfg, nodes_dist.log_prob_table
             )
             passes = []
             for p in range(int(cfg.get("num_test_passes", 5))):
@@ -83,7 +94,7 @@ def main(argv=None):
                     rng=rng, shuffle=False, drop_last=False,
                     pad_to=datasets["test"].data["positions"].shape[1],
                 )):
-                    info = eval_step(params, batch, jax.random.fold_in(key, p * 10000 + i))
+                    info = eval_step(nll_params, batch, jax.random.fold_in(key, p * 10000 + i))
                     losses.append(float(np.asarray(info["loss"])))
                 passes.append(float(np.mean(losses)))
             metrics["test_nll"] = float(np.mean(passes))

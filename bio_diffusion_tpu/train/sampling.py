@@ -39,6 +39,35 @@ class FunctionDynamics:
         return _FunctionDynamics()
 
 
+def build_fast_evd(evd, params, interpret: bool = False):
+    """Clone the EVD with its dynamics replaced by the baked-weight
+    pure-function fast path (models/gcpnet_fast.py) when the configuration
+    supports it; the clone applies with an EMPTY variables dict.  Returns
+    None when the fast path doesn't apply (non-GCPNet dynamics, unsupported
+    module options, or a learned noise schedule whose GammaNetwork params
+    live in the EVD tree)."""
+    from bio_diffusion_tpu.models.gcpnet import GCPNetDynamics
+    from bio_diffusion_tpu.models.gcpnet_fast import make_fast_dynamics, supports_fast_path
+
+    dyn = evd.dynamics
+    if not isinstance(dyn, GCPNetDynamics):
+        return None
+    if not supports_fast_path(dyn.module_cfg, dyn.layer_cfg):
+        return None
+    if evd.diffusion_cfg.noise_schedule == "learned":
+        return None
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    fwd = make_fast_dynamics(
+        dyn.model_cfg, dyn.module_cfg, dyn.layer_cfg, dyn.diffusion_cfg,
+        dyn.dataloader_cfg, params,
+        compute_dtype=dyn.compute_dtype,
+        use_pallas=on_tpu or interpret,
+        interpret=interpret,
+    )
+    return evd.clone(dynamics=FunctionDynamics(fwd))
+
+
 class SegmentedSampler:
     """Jit-compiled segmented reverse-diffusion sampler for one EVD model.
 
@@ -88,27 +117,7 @@ class SegmentedSampler:
 
     @staticmethod
     def _try_build_fast(evd, params, interpret: bool):
-        from bio_diffusion_tpu.models.gcpnet import GCPNetDynamics
-        from bio_diffusion_tpu.models.gcpnet_fast import make_fast_dynamics, supports_fast_path
-
-        dyn = evd.dynamics
-        if not isinstance(dyn, GCPNetDynamics):
-            return None
-        if not supports_fast_path(dyn.module_cfg, dyn.layer_cfg):
-            return None
-        if evd.diffusion_cfg.noise_schedule == "learned":
-            return None  # the EVD itself holds GammaNetwork params then
-        import jax
-
-        on_tpu = jax.devices()[0].platform == "tpu"
-        fwd = make_fast_dynamics(
-            dyn.model_cfg, dyn.module_cfg, dyn.layer_cfg, dyn.diffusion_cfg,
-            dyn.dataloader_cfg, params,
-            compute_dtype=dyn.compute_dtype,
-            use_pallas=on_tpu or interpret,
-            interpret=interpret,
-        )
-        return evd.clone(dynamics=FunctionDynamics(fwd))
+        return build_fast_evd(evd, params, interpret=interpret)
 
     def run(
         self,
