@@ -59,6 +59,10 @@ def supports_fast_path(module_cfg: ModuleConfig, layer_cfg: LayerConfig) -> bool
         and layer_cfg.mp_cfg.use_residual_message_gcp
         and module_cfg.scalar_nonlinearity == "silu"
         and module_cfg.vector_nonlinearity == "silu"
+        # the fast forward implements no inner-GCP vector residual; a model
+        # trained with these on must take the module path to keep its math
+        and not module_cfg.vector_residual
+        and not module_cfg.default_vector_residual
     )
 
 

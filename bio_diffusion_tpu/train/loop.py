@@ -97,6 +97,7 @@ class Trainer:
 
         self.rng = np.random.default_rng(exp.seed)
         self.state = None
+        self._eval_sampler = None  # lazily-built module-path sampler, reused across evals
 
     # -- setup ---------------------------------------------------------------
 
@@ -194,7 +195,17 @@ class Trainer:
     def evaluate_sampling(self, epoch: int, num_samples: Optional[int] = None) -> Dict[str, float]:
         exp = self.exp
         num_samples = num_samples or exp.diffusion_cfg.num_eval_samples
-        sampler = SegmentedSampler(self.evd_sample, self.state.ema_params)
+        # In-training sampling eval uses the module path (fast='off'): the
+        # fast path bakes weights into the jit as constants, which would force
+        # a full recompile of the init/segment/decode executables every eval
+        # epoch.  With fast='off' params stay jit arguments, so one cached
+        # sampler's executables are reused across epochs with fresh EMA weights.
+        if self._eval_sampler is None:
+            self._eval_sampler = SegmentedSampler(
+                self.evd_sample, self.state.ema_params, fast="off"
+            )
+        sampler = self._eval_sampler
+        sampler.params = self.state.ema_params
         xh, node_mask, _ = sample_molecules(
             sampler,
             jax.random.PRNGKey(exp.seed + 3 + epoch),
