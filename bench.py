@@ -1,33 +1,52 @@
-"""Headline benchmark: QM9 unconditional reverse-diffusion sampling throughput.
+"""Headline benchmark: unconditional reverse-diffusion sampling throughput.
 
-Reference baseline (BASELINE.md): 250 molecules x 1000 denoise steps of
-19-atom molecules in ~5 min on one CUDA GPU == ~833 denoiser evals/s
-(evals = molecules x steps / seconds).
+Workloads (BENCH_WORKLOAD=qm9|geom, default qm9):
+
+  qm9  — 250 molecules x 1000 denoise steps, 19 atoms, 9-layer GCPNet.
+         Reference: ~5 min on one CUDA GPU == ~833 denoiser evals/s
+         (/root/reference/README.md:133-136).
+  geom — 250 molecules x 1000 denoise steps, 44 atoms, 4-layer GCPNet
+         (GEOM-Drugs config: 16 atom types, no charges, e=16/xi=8).
+         Reference: ~15 min on one CUDA GPU == ~0.28 mol/s == ~280
+         denoiser evals/s (/root/reference/README.md:166-169).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/833}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/baseline}
 
 Env knobs:
-  BENCH_STEPS (default 1000), BENCH_BATCH (default 250), BENCH_NODES (19),
-  BENCH_PRECISION (f32|bf16, default bf16), BENCH_REPEATS (default 1).
+  BENCH_WORKLOAD (qm9|geom), BENCH_STEPS (default 1000), BENCH_BATCH (250),
+  BENCH_NODES (19 qm9 / 44 geom), BENCH_PRECISION (f32|bf16, default bf16),
+  BENCH_REPEATS (default 1), BENCH_SEGMENT (scan segment size, default 250).
 """
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
-BASELINE_EVALS_PER_S = 833.0
+WORKLOADS = {
+    # name: (baseline denoiser evals/s, default nodes, model kwargs, dataloader kwargs)
+    "qm9": (833.0, 19, {}, {}),
+    "geom": (
+        280.0,
+        44,
+        dict(e_hidden_dim=16, xi_hidden_dim=8, num_encoder_layers=4),
+        dict(dataset="GEOM", num_atom_types=16, include_charges=False),
+    ),
+}
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
+    workload = os.environ.get("BENCH_WORKLOAD", "qm9")
+    baseline, default_nodes, model_kwargs, dl_kwargs = WORKLOADS[workload]
     steps = int(os.environ.get("BENCH_STEPS", 1000))
     batch = int(os.environ.get("BENCH_BATCH", 250))
-    nodes = int(os.environ.get("BENCH_NODES", 19))
+    nodes = int(os.environ.get("BENCH_NODES", default_nodes))
     precision = os.environ.get("BENCH_PRECISION", "bf16")
     repeats = int(os.environ.get("BENCH_REPEATS", 1))
 
@@ -36,14 +55,16 @@ def main():
 
     from bio_diffusion_tpu.config.schema import (
         DataloaderConfig, DiffusionConfig, LayerConfig, ModelConfig, ModuleConfig,
+        compute_num_atom_types,
     )
     from bio_diffusion_tpu.models.diffusion import EquivariantVariationalDiffusion
     from bio_diffusion_tpu.models.gcpnet import GCPNetDynamics
 
     dc = DiffusionConfig(num_timesteps=steps)
-    dl = DataloaderConfig()
+    dl = DataloaderConfig(**dl_kwargs)
     net = GCPNetDynamics(
-        ModelConfig(), ModuleConfig(), LayerConfig(), dc, dl, remat_interactions=False,
+        ModelConfig(**model_kwargs), ModuleConfig(), LayerConfig(), dc, dl,
+        remat_interactions=False,
         compute_dtype="bfloat16" if precision == "bf16" else None,
     )
     evd = EquivariantVariationalDiffusion(dynamics=net, diffusion_cfg=dc, dataloader_cfg=dl)
@@ -52,12 +73,12 @@ def main():
     node_mask = jnp.ones((batch, nodes), dtype=jnp.float32)
 
     # init params with a tiny dummy call (loss path) to build the full tree
-    import numpy as _np
     from bio_diffusion_tpu.ops.geometry import centralize
+    k_types = compute_num_atom_types(dl)
     x0 = jax.random.normal(key, (2, nodes, 3))
     _, x0 = centralize(x0, jnp.ones((2, nodes)))
-    oh0 = jax.nn.one_hot(jnp.zeros((2, nodes), jnp.int32), 5)
-    ch0 = jnp.ones((2, nodes, 1))
+    oh0 = jax.nn.one_hot(jnp.zeros((2, nodes), jnp.int32), k_types)
+    ch0 = jnp.ones((2, nodes, int(dl.include_charges)))
     params = evd.init(key, x0, oh0, ch0, jnp.ones((2, nodes)), key, training=False)
 
     from bio_diffusion_tpu.train.sampling import SegmentedSampler
@@ -81,15 +102,14 @@ def main():
     elapsed = min(times)
     evals_per_s = batch * steps / elapsed
     result = {
-        "metric": "qm9_uncond_sampling_denoiser_evals_per_s",
+        "metric": f"{workload}_uncond_sampling_denoiser_evals_per_s",
         "value": round(evals_per_s, 2),
         "unit": "denoiser evals/s (batch x steps / s; batch=%d, steps=%d, %d atoms, %s)"
         % (batch, steps, nodes, precision),
-        "vs_baseline": round(evals_per_s / BASELINE_EVALS_PER_S, 3),
+        "vs_baseline": round(evals_per_s / baseline, 3),
     }
     print(json.dumps(result))
-    # extra diagnostics on stderr-ish (second line is ignored by the driver)
-    import sys
+    # extra diagnostics (second line is ignored by the driver)
     print(
         f"# first(run+compile)={compile_and_first:.1f}s steady={elapsed:.2f}s "
         f"mols/s={batch / elapsed:.2f} device={jax.devices()[0]}",

@@ -59,7 +59,22 @@ def main(argv=None):
              f"network={exp.diffusion_cfg.dynamics_network}, "
              f"layers={exp.model_cfg.num_encoder_layers}, workdir={workdir}")
 
-    trainer = Trainer(exp, workdir)
+    # distribution: multi-host init first (must precede device queries), then
+    # a (data x model) mesh over all devices — the DDP-by-default counterpart
+    # of the reference trainer configs (trainer/default.yaml:10, ddp.yaml)
+    if exp.trainer.multihost:
+        from bio_diffusion_tpu.parallel.mesh import initialize_multihost
+
+        initialize_multihost()
+    mesh = None
+    if exp.trainer.use_mesh:
+        from bio_diffusion_tpu.parallel.mesh import default_mesh
+
+        mesh = default_mesh(num_model_shards=exp.trainer.num_model_shards)
+        if mesh is not None:
+            log.info(f"Training on mesh {dict(mesh.shape)}")
+
+    trainer = Trainer(exp, workdir, mesh=mesh)
     if dump_graph:
         # compiler's-eye view of the denoiser forward (TPU-native counterpart
         # of the reference's torchviz dump, utils/__init__.py:53-68)

@@ -172,6 +172,19 @@ class TrainerConfig:
     ckpt_every_n_epochs: int = 1
     ckpt_dir: str = "checkpoints"
     log_every_n_steps: int = 50
+    # distribution (TPU-native counterpart of reference trainer/ddp.yaml):
+    # a (data x model) jax.sharding.Mesh over all local devices by default
+    use_mesh: bool = True
+    num_model_shards: int = 1  # FSDP-style 'model' axis size (1 = pure DP)
+    num_nodes: int = 1  # config parity with reference trainer/ddp.yaml
+    multihost: bool = False  # jax.distributed.initialize before device queries
+    # early stopping (reference configs/callbacks/early_stopping.yaml):
+    # empty monitor = disabled; monitor names a logged metric ("val/loss")
+    early_stopping_monitor: str = ""
+    early_stopping_patience: int = 5
+    early_stopping_min_delta: float = 0.0
+    early_stopping_mode: str = "min"  # [min, max]
+    early_stopping_check_finite: bool = True
 
 
 def compute_num_atom_types(dataloader_cfg: DataloaderConfig) -> int:

@@ -44,6 +44,38 @@ def make_mesh(
     return Mesh(dev_array, axis_names=("data", "model"))
 
 
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Process-level init for multi-host (DCN) training.
+
+    TPU-native counterpart of Lightning's multi-node DDP launch
+    (reference configs/trainer/ddp.yaml: num_nodes).  On TPU pods the
+    arguments are auto-detected from the environment; on other platforms
+    pass them explicitly (or via JAX_COORDINATOR_ADDRESS etc.).  Call
+    BEFORE any other jax API so jax.devices() returns the global view.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def default_mesh(num_model_shards: int = 1) -> Optional[Mesh]:
+    """('data', 'model') mesh over all (global) devices; None when there is
+    a single device (plain jit is sharding-free and marginally cheaper)."""
+    devices = jax.devices()
+    if len(devices) <= 1:
+        return None
+    return make_mesh(model=num_model_shards, devices=devices)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dim over the data axis; replicate the rest."""
     return NamedSharding(mesh, P("data"))

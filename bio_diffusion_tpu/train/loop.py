@@ -84,11 +84,13 @@ class Trainer:
             )
 
         self.optimizer = make_optimizer(exp.optimizer)
+        self.accumulate_grad_batches = max(1, int(exp.trainer.accumulate_grad_batches))
         self.train_step = make_train_step(
             self.evd, self.optimizer, exp.diffusion_cfg, exp.dataloader_cfg,
             self.nodes_dist.log_prob_table,
             ema_decay=exp.trainer.ema_decay,
             clip_gradients=exp.module_cfg.clip_gradients,
+            accumulate_grad_batches=self.accumulate_grad_batches,
         )
         self.eval_step = make_eval_step(
             self.evd, exp.diffusion_cfg, exp.dataloader_cfg, self.nodes_dist.log_prob_table
@@ -122,9 +124,16 @@ class Trainer:
     def _shard(self, batch):
         if self.mesh is None:
             return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         from bio_diffusion_tpu.parallel.mesh import batch_sharding
 
-        bs = batch_sharding(self.mesh)
+        # ragged final batches (val/test, drop_last=False) fall back to
+        # replication — still correct, just not batch-parallel
+        if batch.x.shape[0] % self.mesh.shape["data"] == 0:
+            bs = batch_sharding(self.mesh)
+        else:
+            bs = NamedSharding(self.mesh, P())
         return jax.tree.map(lambda x: jax.device_put(x, bs) if x is not None else None, batch)
 
     def init_state(self, resume: bool = True):
@@ -138,16 +147,20 @@ class Trainer:
         )
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
         log.info(f"Initialized model with {n_params:,} parameters")
-        if self.mesh is not None:
-            from bio_diffusion_tpu.parallel.mesh import param_sharding_rules, shard_pytree
-
-            params = shard_pytree(params, param_sharding_rules(params, self.mesh))
         self.state = create_train_state(params, self.optimizer)
 
         ckpt_dir = os.path.join(self.workdir, exp.trainer.ckpt_dir)
         if resume and latest_step(ckpt_dir) is not None:
             self.state = restore_checkpoint(ckpt_dir, self.state)
             log.info(f"Resumed from checkpoint step {int(self.state.step)}")
+        if self.mesh is not None:
+            # place the whole state on the mesh (after any restore, so fresh
+            # and resumed leaves get consistent shardings)
+            from bio_diffusion_tpu.parallel.mesh import param_sharding_rules, shard_pytree
+
+            self.state = shard_pytree(
+                self.state, param_sharding_rules(self.state, self.mesh)
+            )
         return self.state
 
     # -- phases ---------------------------------------------------------------
@@ -157,8 +170,19 @@ class Trainer:
         key = jax.random.PRNGKey(exp.seed + 1)
         metrics_acc: Dict[str, list] = {}
         n_batches = 0
+        accum = self.accumulate_grad_batches
+        micro: list = []
         for batch in self._batch_iter("train"):
-            self.state, metrics = self.train_step(self.state, self._shard(batch), key)
+            if accum > 1:
+                # reference accumulate_grad_batches (trainer/default.yaml:29):
+                # k consecutive loader batches -> one clipped optimizer step
+                micro.append(self._shard(batch))
+                if len(micro) < accum:
+                    continue
+                self.state, metrics = self.train_step(self.state, micro, key)
+                micro = []
+            else:
+                self.state, metrics = self.train_step(self.state, self._shard(batch), key)
             n_batches += 1
             for k, v in metrics.items():
                 metrics_acc.setdefault(k, []).append(v)
@@ -166,6 +190,9 @@ class Trainer:
                 break
         # materialize at epoch end only (no per-step host syncs)
         out = {k: float(np.mean([np.asarray(v) for v in vs])) for k, vs in metrics_acc.items()}
+        if n_batches == 0:  # e.g. dataset smaller than accumulate_grad_batches
+            log.warning(f"epoch {epoch}: no optimizer steps ran")
+            return out
         loss = out.get("loss", float("nan"))
         if not np.isfinite(loss):
             raise FloatingPointError(f"Non-finite training loss at epoch {epoch}: {loss}")
@@ -252,6 +279,12 @@ class Trainer:
             self.init_state()
         ckpt_dir = os.path.join(self.workdir, exp.trainer.ckpt_dir)
 
+        # early stopping state (reference configs/callbacks/early_stopping.yaml)
+        monitor = exp.trainer.early_stopping_monitor
+        mode_sign = -1.0 if exp.trainer.early_stopping_mode == "max" else 1.0
+        best_monitor = float("inf")
+        bad_checks = 0
+
         for epoch in range(max_epochs):
             t0 = time.time()
             train_metrics = self.train_epoch(epoch, max_steps=max_steps)
@@ -260,11 +293,37 @@ class Trainer:
                 f"({time.time() - t0:.1f}s)"
             )
             if (epoch + 1) % exp.trainer.check_val_every_n_epoch == 0:
-                self.validate(epoch)
+                val_metrics = self.validate(epoch)
                 if exp.diffusion_cfg.sample_during_training and (
                     (epoch + 1) % exp.diffusion_cfg.eval_epochs == 0
                 ):
                     self.evaluate_sampling(epoch)
+                if monitor:
+                    # monitor names the logged metric ("val/loss" == validate()
+                    # key "loss"); min_epochs gates stopping, like Lightning
+                    key = monitor.split("/", 1)[-1]
+                    value = val_metrics.get(key)
+                    if value is None:
+                        log.warning(f"early stopping: metric {monitor!r} not found")
+                    else:
+                        if exp.trainer.early_stopping_check_finite and not np.isfinite(value):
+                            log.error(f"early stopping: {monitor}={value} is not finite")
+                            break
+                        score = mode_sign * value
+                        if score < best_monitor - exp.trainer.early_stopping_min_delta:
+                            best_monitor = score
+                            bad_checks = 0
+                        else:
+                            bad_checks += 1
+                            if (
+                                bad_checks >= exp.trainer.early_stopping_patience
+                                and epoch + 1 >= exp.trainer.min_epochs
+                            ):
+                                log.info(
+                                    f"early stopping at epoch {epoch}: {monitor} did not "
+                                    f"improve for {bad_checks} checks"
+                                )
+                                break
             if (epoch + 1) % exp.trainer.ckpt_every_n_epochs == 0:
                 save_checkpoint(ckpt_dir, self.state)
             if max_steps is not None and int(self.state.step) >= max_steps:

@@ -71,18 +71,24 @@ def make_train_step(
     ema_decay: float = 0.9999,
     clip_gradients: bool = True,
     donate: bool = True,
-) -> Callable[[TrainState, DenseMolBatch, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
+    accumulate_grad_batches: int = 1,
+) -> Callable[[TrainState, Any, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
     """Build the jitted train step.
 
     The returned function is pure: (state, batch, rng) -> (state', metrics).
     Under a mesh, shard the batch on the 'data' axis and XLA inserts the
     gradient all-reduce automatically (the loss is a global-batch mean).
+
+    With ``accumulate_grad_batches=k > 1`` (reference
+    configs/trainer/default.yaml:29), the returned function instead takes a
+    SEQUENCE of k micro-batches: gradients are computed per micro-batch by a
+    shared jitted grad fn (per-shape executable cache, so size buckets work),
+    averaged, and applied in one clipped optimizer + EMA update — numerically
+    the mean-loss big-batch step.
     """
     loss_fn = make_loss_fn(evd_module, diffusion_cfg, dataloader_cfg, log_pN_table, training=True)
 
-    def train_step(state: TrainState, batch: DenseMolBatch, rng):
-        rng = jax.random.fold_in(rng, state.step)
-        (loss, info), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch, rng)
+    def _apply(state: TrainState, grads, info):
         grads, state, grad_norm, max_norm = adaptive_clip(state, grads, enabled=clip_gradients)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -98,7 +104,36 @@ def make_train_step(
         metrics["max_grad_norm"] = max_norm
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    if accumulate_grad_batches <= 1:
+        def train_step(state: TrainState, batch: DenseMolBatch, rng):
+            rng = jax.random.fold_in(rng, state.step)
+            (_, info), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch, rng)
+            return _apply(state, grads, info)
+
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    k = accumulate_grad_batches
+    grad_fn = jax.jit(
+        lambda params, batch, rng: jax.value_and_grad(loss_fn, has_aux=True)(params, batch, rng)
+    )
+    scale = jax.jit(lambda tree: jax.tree.map(lambda a: a / k, tree))
+    accum = jax.jit(lambda a, b: jax.tree.map(jnp.add, a, b))
+    apply_fn = jax.jit(_apply, donate_argnums=(0,) if donate else ())
+
+    def train_step(state: TrainState, batches, rng):
+        assert len(batches) == k, f"expected {k} micro-batches, got {len(batches)}"
+        rng = jax.random.fold_in(rng, state.step)
+        grads_sum = None
+        infos = []
+        for i, batch in enumerate(batches):
+            (_, info), grads = grad_fn(state.params, batch, jax.random.fold_in(rng, i))
+            grads_sum = grads if grads_sum is None else accum(grads_sum, grads)
+            infos.append(info)
+        grads = scale(grads_sum)
+        info = {key: jnp.mean(jnp.stack([m[key] for m in infos])) for key in infos[0]}
+        return apply_fn(state, grads, info)
+
+    return train_step
 
 
 def make_eval_step(
