@@ -55,6 +55,15 @@ def main(argv=None):
     if workdir is None:
         workdir = (cfg.get("paths") or {}).get("output_dir") or "outputs/train"
 
+    # extras: config tree + tag enforcement (reference extras/default.yaml +
+    # rich_utils.py)
+    extras = cfg.get("extras") or {}
+    from bio_diffusion_tpu.utils.logging import build_loggers, enforce_tags, print_config_tree
+
+    enforce_tags(cfg, strict=bool(extras.get("enforce_tags")))
+    if extras.get("print_config"):
+        print_config_tree(cfg)
+
     log.info(f"Experiment: dataset={exp.dataloader_cfg.dataset}, "
              f"network={exp.diffusion_cfg.dynamics_network}, "
              f"layers={exp.model_cfg.num_encoder_layers}, workdir={workdir}")
@@ -74,7 +83,8 @@ def main(argv=None):
         if mesh is not None:
             log.info(f"Training on mesh {dict(mesh.shape)}")
 
-    trainer = Trainer(exp, workdir, mesh=mesh)
+    trainer = Trainer(exp, workdir, mesh=mesh,
+                      loggers=build_loggers(cfg.get("logger"), workdir))
     if dump_graph:
         # compiler's-eye view of the denoiser forward (TPU-native counterpart
         # of the reference's torchviz dump, utils/__init__.py:53-68)

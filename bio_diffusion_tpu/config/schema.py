@@ -114,6 +114,10 @@ class DiffusionConfig:
     eval_batch_size: int = 100
     num_visualization_samples: int = 5
     keep_frames: int = 100
+    # debug mode: compile checkify invariant checks into the loss path
+    # (reference assert_mean_zero_with_mask / assert_correctly_masked,
+    # variational_diffusion.py:442-474).  Off by default -> zero overhead.
+    debug_invariants: bool = False
 
 
 @dataclasses.dataclass
@@ -185,6 +189,11 @@ class TrainerConfig:
     early_stopping_min_delta: float = 0.0
     early_stopping_mode: str = "min"  # [min, max]
     early_stopping_check_finite: bool = True
+    # warm start (reference src/train.py:91-106 strict=False state_dict load):
+    # orbax checkpoint dir or torch .ckpt; leaves that match by path+shape are
+    # loaded, the rest keep fresh init.  Distinct from exact resume.
+    warm_start_ckpt: str = ""
+    warm_start_source: str = "params"  # [params, ema_params] for orbax dirs
 
 
 def compute_num_atom_types(dataloader_cfg: DataloaderConfig) -> int:

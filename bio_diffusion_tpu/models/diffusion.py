@@ -362,6 +362,17 @@ class EquivariantVariationalDiffusion(nn.Module):
         b, n = node_mask.shape
         num_nodes = jnp.sum(node_mask.astype(x.dtype), axis=-1)  # [B]
 
+        # debug-mode invariants (reference variational_diffusion.py:442-474,
+        # :967-983); static flag -> compiled out entirely when off
+        from bio_diffusion_tpu.utils.debug import (
+            check_correctly_masked, check_finite, check_mean_zero_with_mask,
+        )
+        dbg = dc.debug_invariants
+        check_mean_zero_with_mask(dbg, x, node_mask, "input x")
+        check_correctly_masked(dbg, x, node_mask, "input x")
+        check_correctly_masked(dbg, h_cat, node_mask, "input h_cat")
+        check_correctly_masked(dbg, h_int, node_mask, "input h_int")
+
         x, h_cat, h_int = self.normalize(x, h_cat, h_int, node_mask)
         xh = self.pack_xh(x, h_cat, h_int)
 
@@ -381,6 +392,7 @@ class EquivariantVariationalDiffusion(nn.Module):
         gamma_t = self.gamma(t)
 
         z_t, eps_t = self.compute_noised_representation(xh, node_mask, gamma_t, key_eps)
+        check_mean_zero_with_mask(dbg, z_t[..., : self.num_x_dims], node_mask, "z_t positions")
 
         # self-conditioning: one extra no-grad denoise pass at t+1 with prob 0.5
         self_cond = None
@@ -413,6 +425,8 @@ class EquivariantVariationalDiffusion(nn.Module):
             z_t, t, node_mask, context=context, xh_self_cond=self_cond,
             deterministic=not training,
         )
+        check_correctly_masked(dbg, net_out[..., : self.num_x_dims], node_mask, "net_out vel")
+        check_finite(dbg, net_out, "net_out")
 
         error_t = sum_except_batch((eps_t - net_out) ** 2)  # [B]
 

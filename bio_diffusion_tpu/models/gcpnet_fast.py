@@ -1,31 +1,44 @@
-"""Fast inference forward for GCPNetDynamics: pure functions + Pallas kernels.
+"""Fast forward for GCPNetDynamics: pure functions + Pallas kernels.
 
-The flax module path (models/gcpnet.py) is the source of truth and the
-training path.  This module implements an equivalent forward that
+The flax module path (models/gcpnet.py) is the source of truth.  This module
+implements an equivalent forward that
 
   * reads the SAME parameter tree (no conversion),
   * keeps vector features coords-major end to end (no [V,3]<->[3,V]
     transposes on edge tensors),
-  * dispatches the secondary message-GCP chain + scalar attention to the
-    fused Pallas kernel (ops/pallas/gcp_kernel.py),
-  * evaluates the first message GCP with split weights on flat edges.
+  * dispatches the per-edge message work to the fused Pallas mega-kernel
+    (ops/pallas/gcp_kernel.py) on TPU,
+
+in two flavors:
+
+  * :func:`make_fast_dynamics` — INFERENCE: bakes the weights into the jit as
+    constants (kernel packing done once on the host).  Used by the
+    SegmentedSampler.
+  * :class:`FastGCPNetDynamics` — TRAINING: a flax module that *adopts* the
+    module path's parameter tree (pytree-valued params with the same names),
+    packs kernel weights with differentiable jnp ops, and runs the Pallas
+    mega-kernel forward under a custom VJP whose backward is the jnp
+    packed-layout reference math (:func:`message_layer_reference`) — the
+    flash-attention pattern: kernel forward, recompute-based analytic
+    backward, no giant residuals.
 
 Supported configuration (asserted): GCP2, vector_gate, frame updates on, no
 ablations, no gcp-norm/dropout, single feedforward layer, squeeze position
 update — exactly the trained QM9/GEOM configuration.  Anything else falls
-back to the module path (SegmentedSampler handles the choice).
+back to the module path (SegmentedSampler / Trainer handle the choice).
 
 Parity is pinned by tests/test_gcpnet_fast.py (module vs fast forward on
-the same params).
+the same params) and tests/test_fast_train.py (gradient parity).
 """
 
 from __future__ import annotations
 
-
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from flax import linen as nn
 
 from bio_diffusion_tpu.config.schema import (
     DataloaderConfig, DiffusionConfig, LayerConfig, ModelConfig, ModuleConfig,
@@ -117,12 +130,15 @@ def _gcp2_apply_cm(w: Dict[str, Any], s: Array, v_cm: Optional[Array], frames: A
 
 
 def _bd3(m: Array) -> Array:
-    """[a, b] -> [3a, 3b] block diagonal (host-side small weights)."""
-    a, b = m.shape
-    out = jnp.zeros((3 * a, 3 * b), m.dtype)
-    for k in range(3):
-        out = out.at[k * a:(k + 1) * a, k * b:(k + 1) * b].set(m)
-    return out
+    """[a, b] -> [3a, 3b] block diagonal (differentiable; kron with eye)."""
+    return jnp.kron(jnp.eye(3, dtype=m.dtype), m)
+
+
+def _bd3_batched(m: Array) -> Array:
+    """[G, a, b] -> [G, 3a, 3b] block diagonal."""
+    g, a, b = m.shape
+    eye = jnp.eye(3, dtype=m.dtype)
+    return jnp.einsum("kl,gij->gkilj", eye, m).reshape(g, 3 * a, 3 * b)
 
 
 def _gcp2_edge_wide(w: Dict[str, Any], s_e: Array, v_cm: Array, frames_t_flat: Array,
@@ -210,6 +226,289 @@ def _stack_chain_weights(mp: Dict[str, Any], num_message_layers: int, dtype):
     return wd, wdf, ws, bs, wu, wg, bg, wattn, battn
 
 
+def pack_gcp1_weights_jnp(w1: Dict[str, Any], s_dim: int, v_dim: int, ve_dim: int,
+                          dtype) -> Dict[str, Array]:
+    """Differentiable (jnp) version of pack_gcp1_weights: split +
+    block-diagonalize the first message GCP's weights for the mega-kernel.
+    Gradients flow through kron/concat/slice back to the flax tree."""
+    wd = w1["vector_down"]["kernel"].astype(dtype)      # [2V+Ve, H]
+    wdf = w1["vector_down_frames"]["kernel"].astype(dtype)  # [2V+Ve, 3]
+    ws = w1["scalar_out_head"]["scalar_out"]["kernel"].astype(dtype)
+    bs = w1["scalar_out_head"]["scalar_out"]["bias"].astype(dtype)
+    wu = w1["vector_up"]["kernel"].astype(dtype)        # [H, Vout]
+    wg = w1["vector_out_scale"]["kernel"].astype(dtype)
+    bg = w1["vector_out_scale"]["bias"].astype(dtype)
+
+    h = wd.shape[1]
+    wd_i, wd_e, wd_j = wd[:v_dim], wd[v_dim:v_dim + ve_dim], wd[v_dim + ve_dim:]
+    wdf_i, wdf_e, wdf_j = wdf[:v_dim], wdf[v_dim:v_dim + ve_dim], wdf[v_dim + ve_dim:]
+    se_dim = ws.shape[0] - 2 * s_dim - h - 9
+
+    return {
+        "wvi": jnp.concatenate([_bd3(wd_i), _bd3(wdf_i)], axis=1),
+        "wvj": jnp.concatenate([_bd3(wd_j), _bd3(wdf_j)], axis=1),
+        "wve": jnp.concatenate([_bd3(wd_e), _bd3(wdf_e)], axis=1),  # [3Ve, 3H+9]
+        "wsi": ws[:s_dim],
+        "wse": ws[s_dim: s_dim + se_dim],
+        "wsj": ws[s_dim + se_dim: 2 * s_dim + se_dim],
+        "wsvn": ws[2 * s_dim + se_dim: 2 * s_dim + se_dim + h],
+        "wssc": ws[2 * s_dim + se_dim + h:],
+        "bs": bs,
+        "wu_bd": _bd3(wu),  # [3H, 3Vout]
+        "wg": wg,
+        "bg": bg,
+    }
+
+
+def pack_chain_weights_jnp(mp: Dict[str, Any], num_message_layers: int, dtype) -> tuple:
+    """Differentiable chain packing -> the fused_message_layer chain tuple."""
+    wd, wdf, ws, bs, wu, wg, bg, wattn, battn = _stack_chain_weights(
+        mp, num_message_layers, dtype
+    )
+    w_comb = jnp.concatenate([_bd3_batched(wd), _bd3_batched(wdf)], axis=2)  # [G,3V,3H+9]
+    wu_bd = _bd3_batched(wu)  # [G, 3H, 3V]
+    return (w_comb, ws, bs, wu_bd, wg, bg, wattn, battn)
+
+
+# ---------------------------------------------------------------------------
+# packed-layout message layer: jnp reference math + custom-VJP Pallas wrapper
+# ---------------------------------------------------------------------------
+
+
+def message_layer_reference(s_node: Array, v_node: Array, epack: Array,
+                            g1: Dict[str, Array], chain: tuple, *, ve_dim: int
+                            ) -> Tuple[Array, Array]:
+    """jnp math of the Pallas mega-kernel (_message_layer_kernel), on the
+    same packed inputs/weights.  Differentiable; used as the custom-VJP
+    backward (recompute) and as the XLA packed-layout fallback.
+
+    Returns (s_agg [B,N,S], v_agg [B,N,3V] coords-major).
+    """
+    b, n, s_dim = s_node.shape
+    v3 = v_node.shape[-1]
+    dt = s_node.dtype
+    se = g1["wse"].shape[0]
+    h1 = g1["wu_bd"].shape[0] // 3
+    h3 = 3 * h1
+
+    ep = epack.reshape(b, n, n, epack.shape[-1])
+    e_feat = ep[..., :se]
+    xi = ep[..., se: se + 3 * ve_dim]
+    ft = ep[..., se + 3 * ve_dim: se + 3 * ve_dim + 9]
+    emask = ep[..., se + 3 * ve_dim + 9: se + 3 * ve_dim + 10]
+    frames = ft.reshape(b, n, n, 3, 3)  # [.., k, a] (coordinate-major k*3+a)
+
+    def scalarize(vdf_cols):  # [..., 9] laid out k*3+c -> [..., 9] c*3+a
+        vdf = vdf_cols.reshape(vdf_cols.shape[:-1] + (3, 3))  # [k, c]
+        return jnp.einsum("...kc,...ka->...ca", vdf, frames.astype(vdf.dtype)).reshape(
+            vdf_cols.shape[:-1] + (9,)
+        )
+
+    # ---- GCP1 over the virtual concat (node_i | edge | node_j) ----
+    vhd = (
+        (v_node @ g1["wvi"])[:, :, None]
+        + (v_node @ g1["wvj"])[:, None, :]
+        + xi @ g1["wve"]
+    )  # [B,N,N,3H1+9]
+    vh_sq = sum(vhd[..., k * h1:(k + 1) * h1] ** 2 for k in range(3))
+    vnorm = _safe_norm_last(vh_sq)
+    schid = scalarize(vhd[..., h3:])
+    s2 = (
+        (s_node @ g1["wsi"])[:, :, None]
+        + (s_node @ g1["wsj"])[:, None, :]
+        + e_feat @ g1["wse"]
+        + vnorm.astype(dt) @ g1["wsvn"]
+        + schid.astype(dt) @ g1["wssc"]
+        + g1["bs"]
+    )
+    silu1 = jax.nn.silu(s2)
+    gate1 = jax.nn.sigmoid(silu1 @ g1["wg"] + g1["bg"])
+    vu1 = vhd[..., :h3] @ g1["wu_bd"]  # [B,N,N,3V]
+    s = silu1
+    v = vu1 * jnp.concatenate([gate1] * 3, axis=-1)
+
+    # ---- residual chain of secondary GCPs ----
+    w_comb, wsc, bsc, wu_bd, wgc, bgc, wattn, battn = chain
+    num_gcps = w_comb.shape[0]
+    hc = (w_comb.shape[2] - 9) // 3
+    hc3 = 3 * hc
+    for g in range(num_gcps):
+        vhd_g = v @ w_comb[g]
+        vh_sq = sum(vhd_g[..., k * hc:(k + 1) * hc] ** 2 for k in range(3))
+        vnorm_g = _safe_norm_last(vh_sq)
+        schid_g = scalarize(vhd_g[..., hc3:])
+        merged = jnp.concatenate([s, vnorm_g.astype(dt), schid_g.astype(dt)], axis=-1)
+        s2_g = merged @ wsc[g] + bsc[g]
+        silu_g = jax.nn.silu(s2_g)
+        gate_g = jax.nn.sigmoid(silu_g @ wgc[g] + bgc[g])
+        vu_g = vhd_g[..., :hc3] @ wu_bd[g]
+        s = s + silu_g
+        v = v + vu_g * jnp.concatenate([gate_g] * 3, axis=-1)
+
+    attn = jax.nn.sigmoid(s @ wattn + battn)
+    s = s * attn * emask.astype(dt)
+    v = v * emask.astype(dt)
+
+    # masked aggregation over targets j
+    return jnp.sum(s, axis=2), jnp.sum(v, axis=2)
+
+
+@functools.lru_cache(maxsize=None)
+def make_message_layer_fn(ve_dim: int, use_pallas: bool, interpret: bool = False):
+    """(s_node, v_node, epack, g1, chain) -> (s_agg, v_agg), differentiable.
+
+    With ``use_pallas``: Pallas mega-kernel forward + custom VJP whose
+    backward recomputes through :func:`message_layer_reference` (no extra
+    residuals saved — the custom VJP is its own remat).  Without: the jnp
+    reference directly.
+    """
+    ref = functools.partial(message_layer_reference, ve_dim=ve_dim)
+    if not use_pallas:
+        return ref
+
+    @jax.custom_vjp
+    def layer(s_node, v_node, epack, g1, chain):
+        return fused_message_layer(
+            s_node, v_node, epack, g1, chain, ve_dim=ve_dim, interpret=interpret
+        )
+
+    def fwd(s_node, v_node, epack, g1, chain):
+        return layer(s_node, v_node, epack, g1, chain), (s_node, v_node, epack, g1, chain)
+
+    def bwd(residuals, cotangents):
+        _, vjp = jax.vjp(ref, *residuals)
+        return vjp(cotangents)
+
+    layer.defvjp(fwd, bwd)
+    return layer
+
+
+# ---------------------------------------------------------------------------
+# shared featurization / per-layer node update
+# ---------------------------------------------------------------------------
+
+
+def _pad_nodes(xh, node_mask, context, xh_self_cond, use_pallas: bool):
+    """Large molecules need sub-molecule kernel tiles, whose output blocks
+    require the node axis to divide into multiples of 8 — pad minimally
+    (masked rows; results unchanged).  Small molecules (n*n <= 1200) use
+    whole-molecule blocks and stay unpadded."""
+    n_orig = node_mask.shape[-1]
+    n_pad = ((-n_orig) % 8) if (use_pallas and n_orig * n_orig > 1200) else 0
+    if n_pad:
+        padw = ((0, 0), (0, n_pad), (0, 0))
+        xh = jnp.pad(xh, padw)
+        node_mask = jnp.pad(node_mask, ((0, 0), (0, n_pad)))
+        if context is not None:
+            context = jnp.pad(context, padw)
+        if xh_self_cond is not None:
+            xh_self_cond = jnp.pad(xh_self_cond, padw)
+    return xh, node_mask, context, xh_self_cond, n_orig, n_pad
+
+
+def _featurize(xh, t, node_mask, context, xh_self_cond, *, nx, dc, mod, n_cond, cdt):
+    """Input featurization shared by the baked and trainable fast forwards:
+    orientations/edge features/self-cond/time/context concat + frames."""
+    mask_f = node_mask.astype(xh.dtype)
+    xh = xh * mask_f[..., None]
+    x_init = xh[..., :nx]
+    h = xh[..., nx:]
+    b, n = node_mask.shape
+    edge_mask = build_edge_mask(node_mask).astype(jnp.float32)
+
+    chi = orientations(x_init, node_mask)  # [B,N,2,3]
+    e_s, e_v = edge_features(x_init, edge_mask)  # [B,N,N,1], [B,N,N,1,3]
+
+    if dc.self_condition:
+        sc_in = xh_self_cond if xh_self_cond is not None else jnp.zeros_like(xh)
+        chi_sc = orientations(sc_in[..., :nx], node_mask)
+        e_s_sc, e_v_sc = edge_features(sc_in[..., :nx], edge_mask)
+        h = jnp.concatenate([h, sc_in[..., nx:]], -1)
+        chi = jnp.concatenate([chi, chi_sc], -2)
+        e_s = jnp.concatenate([e_s, e_s_sc], -1)
+        e_v = jnp.concatenate([e_v, e_v_sc], -2)
+
+    if dc.condition_on_time:
+        h_time = jnp.broadcast_to(t[..., None, :], t.shape[:-1] + (n, 1)).astype(h.dtype)
+        h = jnp.concatenate([h, h_time], -1)
+    if n_cond > 0:
+        h = jnp.concatenate([h, context.astype(h.dtype)], -1)
+
+    _, x_cent = centralize(x_init, node_mask)
+    f_ij = localize(x_cent, edge_mask, norm_x_diff=mod.norm_x_diff)
+    f_node = node_mean_frames(f_ij, edge_mask)
+    # coordinate-major (transposed) flat frames for the kernel layout
+    frames_flat = jnp.swapaxes(f_ij, -1, -2).reshape(b * n * n, 9).astype(cdt)
+
+    h = h.astype(cdt)
+    chi_cm = jnp.swapaxes(chi, -1, -2).astype(cdt)  # [B,N,3,V]
+    e_s = e_s.astype(cdt)
+    ev_cm = jnp.swapaxes(e_v, -1, -2).astype(cdt)  # [B,N,N,3,Ve]
+
+    return dict(
+        mask_f=mask_f, x_init=x_init, h=h, chi_cm=chi_cm, e_s=e_s, ev_cm=ev_cm,
+        edge_mask=edge_mask, x_cent=x_cent,
+        f_ij_c=f_ij.astype(cdt), f_node_c=f_node.astype(cdt),
+        frames_flat=frames_flat, b=b, n=n,
+    )
+
+
+def _build_epack(e_emb, xi_emb, frames_flat, edge_mask, b, n, ve_dim, cdt):
+    """Pack all per-edge features into ONE 128-lane-aligned tensor
+    [B, N*N, P]: embedded edge scalars | coords-major edge vectors |
+    transposed frames | edge mask | zero pad."""
+    se = e_emb.shape[-1]
+    ve3 = 3 * ve_dim
+    width = se + ve3 + 9 + 1
+    pad_w = (-width) % 128
+    parts = [
+        e_emb,
+        xi_emb.reshape(b, n, n, ve3),
+        frames_flat.reshape(b, n, n, 9).astype(cdt),
+        edge_mask[..., None].astype(cdt),
+    ]
+    if pad_w:
+        parts.append(jnp.zeros((b, n, n, pad_w), cdt))
+    return jnp.concatenate(parts, axis=-1).reshape(b, n * n, width + pad_w)
+
+
+def _node_update(layer: Dict[str, Any], s_agg, v_agg, s_node, v_node, f_node_c,
+                 mask_f, x, node_positions_weight: float, cdt):
+    """Feedforward + position update shared by both fast forwards."""
+    s_cat = jnp.concatenate([s_agg, s_node], -1)
+    v_cat = jnp.concatenate([v_agg, v_node], -1)
+    s_ff, v_ff = _gcp2_apply_cm(
+        layer["feedforward_network_0"], s_cat, v_cat, f_node_c,
+        scalar_act=False, gate_act=None, feedforward_out=True,
+    )
+    s_node = (s_node + s_ff) * mask_f[..., None].astype(cdt)
+    v_node = (v_node + v_ff) * mask_f[..., None, None].astype(cdt)
+
+    s_pu, v_pu = _gcp2_apply_cm(
+        layer["node_position_update_gcp"], s_node, v_node, f_node_c, scalar_act=True
+    )
+    x_update = v_pu[..., :, 0].astype(jnp.float32)  # [B,N,3]
+    x = x + x_update * node_positions_weight
+    x = x * mask_f[..., None]
+    return s_node, v_node, x
+
+
+def _decode_outputs(x, x_init, h_out, mask_f, node_mask, n_cond, condition_on_time,
+                    n_orig, n_pad):
+    vel = (x - x_init) * mask_f[..., None]
+    if n_cond > 0:
+        h_out = h_out[..., : h_out.shape[-1] - n_cond]
+    if condition_on_time:
+        h_out = h_out[..., :-1]
+    vel_ok = jnp.all(jnp.isfinite(vel))
+    vel = jnp.where(vel_ok, vel, jnp.zeros_like(vel))
+    _, vel = centralize(vel, node_mask)
+    out = jnp.concatenate([vel, h_out], -1)
+    if n_pad:
+        out = out[:, :n_orig]
+    return out
+
+
 def _message_passing_fast(
     mp: Dict[str, Any],
     s_node: Array,  # [B, N, S]
@@ -222,7 +521,10 @@ def _message_passing_fast(
     use_pallas: bool,
     interpret: bool,
 ) -> Tuple[Array, Array]:
-    """Full message stack -> aggregated (s [B,N,S], v_cm [B,N,3,V])."""
+    """Full message stack -> aggregated (s [B,N,S], v_cm [B,N,3,V]).
+
+    Split-weight first GCP on [B,N,N,.] tensors; chain via the edge-flat
+    Pallas kernel or an identical-math XLA loop (CPU tests)."""
     dt = s_node.dtype
     b, n, s_dim = s_node.shape
     v_dim = v_node_cm.shape[-1]
@@ -310,6 +612,11 @@ def _message_passing_fast(
     return s_agg, v_agg
 
 
+# ---------------------------------------------------------------------------
+# inference: baked-weight forward
+# ---------------------------------------------------------------------------
+
+
 def make_fast_dynamics(
     model_cfg: ModelConfig,
     module_cfg: ModuleConfig,
@@ -331,7 +638,7 @@ def make_fast_dynamics(
     dyn = p["dynamics"] if "dynamics" in p else p
 
     mc, mod, dc, dl = model_cfg, module_cfg, diffusion_cfg, dataloader_cfg
-    cdt_build = jnp.dtype(compute_dtype) if compute_dtype else jnp.float32
+    cdt = jnp.dtype(compute_dtype) if compute_dtype else jnp.float32
 
     # pre-pack per-layer kernel weights (host-side, once per weight set)
     mega_layers = None
@@ -345,107 +652,49 @@ def make_fast_dynamics(
                 mp["message_fusion_0"], s_dim=mc.h_hidden_dim,
                 v_dim=mc.chi_hidden_dim, ve_dim=mc.xi_hidden_dim,
             )
-            g1 = {k: (jnp.asarray(v, cdt_build) if isinstance(v, _np.ndarray) else v)
-                  for k, v in g1.items()}
-            cw = _stack_chain_weights(mp, layer_cfg.mp_cfg.num_message_layers, cdt_build)
+            g1 = {k: jnp.asarray(v, cdt) for k, v in g1.items()
+                  if isinstance(v, _np.ndarray)}
+            cw = _stack_chain_weights(mp, layer_cfg.mp_cfg.num_message_layers, cdt)
             wd_c, wdf_c, ws_c, bs_c, wu_c, wg_c, bg_c, wattn, battn = cw
             w_comb, wu_bd = pack_chain_weights(wd_c, wdf_c, wu_c)
-            chain = (jnp.asarray(w_comb, cdt_build), ws_c, bs_c,
-                     jnp.asarray(wu_bd, cdt_build), wg_c, bg_c, wattn, battn)
+            chain = (jnp.asarray(w_comb, cdt), ws_c, bs_c,
+                     jnp.asarray(wu_bd, cdt), wg_c, bg_c, wattn, battn)
             mega_layers.append((g1, chain))
     nx = dl.num_x_dims
-    node_target = dc.diffusion_target in NODE_FEATURE_DIFFUSION_TARGETS
-    h_input_dim_ = compute_num_atom_types(dl) + int(dl.include_charges) if node_target else mc.h_input_dim
     n_cond = len(mod.conditioning)
-    cdt = jnp.dtype(compute_dtype) if compute_dtype else jnp.float32
 
     def forward(xh, t, node_mask, context=None, xh_self_cond=None, deterministic=True):
-        # large molecules need sub-molecule kernel tiles, whose output blocks
-        # require the node axis to divide into multiples of 8 — pad minimally
-        # (masked rows; results unchanged).  Small molecules (n*n <= 1200)
-        # use whole-molecule blocks and stay unpadded.
-        n_orig = node_mask.shape[-1]
-        n_pad = ((-n_orig) % 8) if (use_pallas and n_orig * n_orig > 1200) else 0
-        if n_pad:
-            padw = ((0, 0), (0, n_pad), (0, 0))
-            xh = jnp.pad(xh, padw)
-            node_mask = jnp.pad(node_mask, ((0, 0), (0, n_pad)))
-            if context is not None:
-                context = jnp.pad(context, padw)
-            if xh_self_cond is not None:
-                xh_self_cond = jnp.pad(xh_self_cond, padw)
-        mask_f = node_mask.astype(xh.dtype)
-        xh = xh * mask_f[..., None]
-        x_init = xh[..., :nx]
-        h = xh[..., nx:]
-        b, n = node_mask.shape
-        edge_mask = build_edge_mask(node_mask).astype(jnp.float32)
-
-        chi = orientations(x_init, node_mask)  # [B,N,2,3]
-        e_s, e_v = edge_features(x_init, edge_mask)  # [B,N,N,1], [B,N,N,1,3]
-
-        if dc.self_condition:
-            sc_in = xh_self_cond if xh_self_cond is not None else jnp.zeros_like(xh)
-            chi_sc = orientations(sc_in[..., :nx], node_mask)
-            e_s_sc, e_v_sc = edge_features(sc_in[..., :nx], edge_mask)
-            h = jnp.concatenate([h, sc_in[..., nx:]], -1)
-            chi = jnp.concatenate([chi, chi_sc], -2)
-            e_s = jnp.concatenate([e_s, e_s_sc], -1)
-            e_v = jnp.concatenate([e_v, e_v_sc], -2)
-
-        if dc.condition_on_time:
-            h_time = jnp.broadcast_to(t[..., None, :], t.shape[:-1] + (n, 1)).astype(h.dtype)
-            h = jnp.concatenate([h, h_time], -1)
-        if n_cond > 0:
-            h = jnp.concatenate([h, context.astype(h.dtype)], -1)
-
-        _, x_cent = centralize(x_init, node_mask)
-        f_ij = localize(x_cent, edge_mask, norm_x_diff=mod.norm_x_diff)
-        f_node = node_mean_frames(f_ij, edge_mask)
-        # coordinate-major (transposed) flat frames for the kernel layout
-        frames_flat = jnp.swapaxes(f_ij, -1, -2).reshape(b * n * n, 9).astype(cdt)
-        f_node_c = f_node.astype(cdt)
-        f_ij_c = f_ij.astype(cdt)
-
-        # coords-major casts
-        h = h.astype(cdt)
-        chi_cm = jnp.swapaxes(chi, -1, -2).astype(cdt)  # [B,N,3,V]
-        e_s = e_s.astype(cdt)
-        ev_cm = jnp.swapaxes(e_v, -1, -2).astype(cdt)  # [B,N,N,3,Ve]
+        xh, node_mask, context, xh_self_cond, n_orig, n_pad = _pad_nodes(
+            xh, node_mask, context, xh_self_cond, use_pallas
+        )
+        f = _featurize(xh, t, node_mask, context, xh_self_cond,
+                       nx=nx, dc=dc, mod=mod, n_cond=n_cond, cdt=cdt)
+        b, n = f["b"], f["n"]
 
         emb = dyn["gcp_embedding"]
         if use_pallas:
-            frames_t_flat = jnp.swapaxes(f_ij, -1, -2).reshape(b * n * n, 9).astype(cdt)
             e_emb, xi_emb = _gcp2_edge_wide(
-                emb["edge_embedding"], e_s, ev_cm, frames_t_flat, gate_act="silu"
+                emb["edge_embedding"], f["e_s"], f["ev_cm"], f["frames_flat"],
+                gate_act="silu",
             )
         else:
             e_emb, xi_emb = _gcp2_apply_cm(
-                emb["edge_embedding"], e_s, ev_cm, f_ij_c, scalar_act=True
+                emb["edge_embedding"], f["e_s"], f["ev_cm"], f["f_ij_c"], scalar_act=True
             )
         h_emb, chi_emb = _gcp2_apply_cm(
-            emb["node_embedding"], h, chi_cm, f_node_c, scalar_act=False, gate_act=None
+            emb["node_embedding"], f["h"], f["chi_cm"], f["f_node_c"],
+            scalar_act=False, gate_act=None,
         )
 
-        x = x_cent
+        x = f["x_cent"]
         s_node, v_node = h_emb, chi_emb
 
         epack = None
         if use_pallas:
-            # pack all per-edge features into one 128-lane-aligned tensor
-            se = e_emb.shape[-1]
-            ve3 = 3 * mc.xi_hidden_dim
-            width = se + ve3 + 9 + 1
-            pad_w = (-width) % 128
-            parts = [
-                e_emb,
-                xi_emb.reshape(b, n, n, ve3),
-                frames_flat.reshape(b, n, n, 9).astype(cdt),
-                edge_mask[..., None].astype(cdt),
-            ]
-            if pad_w:
-                parts.append(jnp.zeros((b, n, n, pad_w), cdt))
-            epack = jnp.concatenate(parts, axis=-1).reshape(b, n * n, width + pad_w)
+            epack = _build_epack(
+                e_emb, xi_emb, f["frames_flat"], f["edge_mask"], b, n,
+                mc.xi_hidden_dim, cdt,
+            )
 
         for i in range(mc.num_encoder_layers):
             layer = dyn[f"interaction_layers_{i}"]
@@ -458,44 +707,170 @@ def make_fast_dynamics(
                 v_agg = v_agg3.reshape(b, n, 3, mc.chi_hidden_dim)
             else:
                 s_agg, v_agg = _message_passing_fast(
-                    layer["interaction"], s_node, v_node, e_emb, xi_emb, frames_flat,
-                    edge_mask, layer_cfg.mp_cfg.num_message_layers, use_pallas, interpret,
+                    layer["interaction"], s_node, v_node, e_emb, xi_emb,
+                    f["frames_flat"], f["edge_mask"],
+                    layer_cfg.mp_cfg.num_message_layers, use_pallas, interpret,
                 )
-            # feedforward over concat(aggregate, node)
-            s_cat = jnp.concatenate([s_agg, s_node], -1)
-            v_cat = jnp.concatenate([v_agg, v_node], -1)
-            s_ff, v_ff = _gcp2_apply_cm(
-                layer["feedforward_network_0"], s_cat, v_cat, f_node_c,
-                scalar_act=False, gate_act=None, feedforward_out=True,
+            s_node, v_node, x = _node_update(
+                layer, s_agg, v_agg, s_node, v_node, f["f_node_c"], f["mask_f"], x,
+                mod.node_positions_weight, cdt,
             )
-            s_node = (s_node + s_ff) * mask_f[..., None].astype(cdt)
-            v_node = (v_node + v_ff) * mask_f[..., None, None].astype(cdt)
-
-            # position update (single-vector-channel GCP)
-            s_pu, v_pu = _gcp2_apply_cm(
-                layer["node_position_update_gcp"], s_node, v_node, f_node_c, scalar_act=True
-            )
-            x_update = v_pu[..., :, 0].astype(jnp.float32)  # [B,N,3]
-            x = x + x_update * mod.node_positions_weight
-            x = x * mask_f[..., None]
 
         h_out, _ = _gcp2_apply_cm(
-            dyn["scalar_node_projection_gcp"], s_node, v_node, f_node_c, scalar_act=False
+            dyn["scalar_node_projection_gcp"], s_node, v_node, f["f_node_c"],
+            scalar_act=False,
         )
-        h_out = h_out.astype(jnp.float32)
-
-        vel = (x - x_init) * mask_f[..., None]
-        if n_cond > 0:
-            h_out = h_out[..., : h_out.shape[-1] - n_cond]
-        if dc.condition_on_time:
-            h_out = h_out[..., :-1]
-
-        vel_ok = jnp.all(jnp.isfinite(vel))
-        vel = jnp.where(vel_ok, vel, jnp.zeros_like(vel))
-        _, vel = centralize(vel, node_mask)
-        out = jnp.concatenate([vel, h_out], -1)
-        if n_pad:
-            out = out[:, :n_orig]
-        return out
+        return _decode_outputs(
+            x, f["x_init"], h_out.astype(jnp.float32), f["mask_f"], node_mask,
+            n_cond, dc.condition_on_time, n_orig, n_pad,
+        )
 
     return forward
+
+
+# ---------------------------------------------------------------------------
+# training: adopted-tree flax module (same params as GCPNetDynamics)
+# ---------------------------------------------------------------------------
+
+
+def fast_forward_trainable(
+    dyn: Dict[str, Any],
+    xh: Array,
+    t: Array,
+    node_mask: Array,
+    context: Optional[Array],
+    xh_self_cond: Optional[Array],
+    *,
+    model_cfg: ModelConfig,
+    module_cfg: ModuleConfig,
+    layer_cfg: LayerConfig,
+    diffusion_cfg: DiffusionConfig,
+    dataloader_cfg: DataloaderConfig,
+    compute_dtype: Optional[str],
+    use_pallas: bool,
+    interpret: bool = False,
+) -> Array:
+    """Packed-layout forward taking the weight tree as an ARGUMENT
+    (differentiable end to end).  Kernel packing is jnp (grads flow through);
+    the message layer runs the Pallas mega-kernel under a custom VJP (or the
+    jnp reference when ``use_pallas`` is False)."""
+    mc, mod, dc, dl = model_cfg, module_cfg, diffusion_cfg, dataloader_cfg
+    cdt = jnp.dtype(compute_dtype) if compute_dtype else jnp.float32
+    nx = dl.num_x_dims
+    n_cond = len(mod.conditioning)
+
+    xh, node_mask, context, xh_self_cond, n_orig, n_pad = _pad_nodes(
+        xh, node_mask, context, xh_self_cond, use_pallas
+    )
+    f = _featurize(xh, t, node_mask, context, xh_self_cond,
+                   nx=nx, dc=dc, mod=mod, n_cond=n_cond, cdt=cdt)
+    b, n = f["b"], f["n"]
+
+    emb = dyn["gcp_embedding"]
+    e_emb, xi_emb = _gcp2_edge_wide(
+        emb["edge_embedding"], f["e_s"], f["ev_cm"], f["frames_flat"], gate_act="silu"
+    )
+    h_emb, chi_emb = _gcp2_apply_cm(
+        emb["node_embedding"], f["h"], f["chi_cm"], f["f_node_c"],
+        scalar_act=False, gate_act=None,
+    )
+
+    epack = _build_epack(
+        e_emb, xi_emb, f["frames_flat"], f["edge_mask"], b, n, mc.xi_hidden_dim, cdt
+    )
+    layer_fn = make_message_layer_fn(mc.xi_hidden_dim, use_pallas, interpret)
+
+    x = f["x_cent"]
+    s_node, v_node = h_emb, chi_emb
+    for i in range(mc.num_encoder_layers):
+        layer = dyn[f"interaction_layers_{i}"]
+        mp = layer["interaction"]
+        g1 = pack_gcp1_weights_jnp(
+            mp["message_fusion_0"], s_dim=mc.h_hidden_dim,
+            v_dim=mc.chi_hidden_dim, ve_dim=mc.xi_hidden_dim, dtype=cdt,
+        )
+        chain = pack_chain_weights_jnp(mp, layer_cfg.mp_cfg.num_message_layers, cdt)
+        s_agg, v_agg3 = layer_fn(
+            s_node, v_node.reshape(b, n, 3 * mc.chi_hidden_dim), epack, g1, chain
+        )
+        v_agg = v_agg3.reshape(b, n, 3, mc.chi_hidden_dim)
+        s_node, v_node, x = _node_update(
+            layer, s_agg, v_agg, s_node, v_node, f["f_node_c"], f["mask_f"], x,
+            mod.node_positions_weight, cdt,
+        )
+
+    h_out, _ = _gcp2_apply_cm(
+        dyn["scalar_node_projection_gcp"], s_node, v_node, f["f_node_c"],
+        scalar_act=False,
+    )
+    return _decode_outputs(
+        x, f["x_init"], h_out.astype(jnp.float32), f["mask_f"], node_mask,
+        n_cond, dc.condition_on_time, n_orig, n_pad,
+    )
+
+
+class FastGCPNetDynamics(nn.Module):
+    """Drop-in trainable replacement for GCPNetDynamics with the SAME
+    parameter tree: each top-level submodule subtree is adopted as one
+    pytree-valued flax param, so checkpoints/EMA/optimizer state are
+    interchangeable between the two modules.
+
+    Use ``evd.clone(dynamics=FastGCPNetDynamics(...))`` for the train step;
+    initialize params via the module path (or this module — init builds a
+    GCPNetDynamics internally to produce identical structure).
+    """
+
+    model_cfg: ModelConfig
+    module_cfg: ModuleConfig
+    layer_cfg: LayerConfig
+    diffusion_cfg: DiffusionConfig
+    dataloader_cfg: DataloaderConfig
+    compute_dtype: Optional[str] = None
+    use_pallas: bool = True
+    interpret: bool = False
+
+    @property
+    def num_x_dims(self) -> int:
+        return self.dataloader_cfg.num_x_dims
+
+    @nn.compact
+    def __call__(self, xh, t, node_mask, context=None, xh_self_cond=None,
+                 deterministic=True):
+        assert supports_fast_path(self.module_cfg, self.layer_cfg), (
+            "config not supported by the fast path; use GCPNetDynamics"
+        )
+        names = (
+            ["gcp_embedding"]
+            + [f"interaction_layers_{i}" for i in range(self.model_cfg.num_encoder_layers)]
+            + ["scalar_node_projection_gcp"]
+        )
+
+        def subtree_init(name):
+            def init_fn(rng):
+                # structure-identical init: run the module path once and
+                # pull this submodule's subtree (used only by .init; apply
+                # fetches stored values without calling this)
+                from bio_diffusion_tpu.models.gcpnet import GCPNetDynamics
+
+                module = GCPNetDynamics(
+                    self.model_cfg, self.module_cfg, self.layer_cfg,
+                    self.diffusion_cfg, self.dataloader_cfg,
+                    remat_interactions=False, compute_dtype=self.compute_dtype,
+                )
+                variables = module.init(
+                    rng, xh, t, node_mask, context=context,
+                    xh_self_cond=xh_self_cond, deterministic=True,
+                )
+                return variables["params"][name]
+
+            return init_fn
+
+        dyn = {name: self.param(name, subtree_init(name)) for name in names}
+        return fast_forward_trainable(
+            dyn, xh, t, node_mask, context, xh_self_cond,
+            model_cfg=self.model_cfg, module_cfg=self.module_cfg,
+            layer_cfg=self.layer_cfg, diffusion_cfg=self.diffusion_cfg,
+            dataloader_cfg=self.dataloader_cfg,
+            compute_dtype=self.compute_dtype, use_pallas=self.use_pallas,
+            interpret=self.interpret,
+        )

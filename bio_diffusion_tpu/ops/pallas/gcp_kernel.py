@@ -430,7 +430,9 @@ def fused_message_layer(
     v3 = v_node.shape[-1]
     v_dim = v3 // 3
     p = epack.shape[-1]
-    h1 = gcp1_w["hidden"]
+    # h1 from shapes (not a dict entry) so gcp1_w can be a traced pytree in
+    # the trainable path (models/gcpnet_fast.py make_message_layer_fn)
+    h1 = gcp1_w["wu_bd"].shape[0] // 3
     w_comb, wsc, bsc, wu_bd, wgc, bgc, wattn, battn = chain_w
     hc = (w_comb.shape[2] - 9) // 3
     num_gcps = w_comb.shape[0]

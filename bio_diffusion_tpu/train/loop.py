@@ -140,8 +140,13 @@ class Trainer:
         exp = self.exp
         batch = next(self._batch_iter("train"))
         key = jax.random.PRNGKey(exp.seed)
+        from bio_diffusion_tpu.ops.geometry import centralize
+
+        # init through the loss path contract: x arrives CoM-free (the same
+        # centralize the train step applies; keeps debug invariants valid)
+        _, x0 = centralize(jnp.asarray(batch.x), jnp.asarray(batch.node_mask))
         params = self.evd.init(
-            key, jnp.asarray(batch.x), jnp.asarray(batch.one_hot), jnp.asarray(batch.charges),
+            key, x0, jnp.asarray(batch.one_hot), jnp.asarray(batch.charges),
             jnp.asarray(batch.node_mask), key, training=True,
             context=None if batch.context is None else jnp.asarray(batch.context),
         )
@@ -153,6 +158,20 @@ class Trainer:
         if resume and latest_step(ckpt_dir) is not None:
             self.state = restore_checkpoint(ckpt_dir, self.state)
             log.info(f"Resumed from checkpoint step {int(self.state.step)}")
+        elif exp.trainer.warm_start_ckpt:
+            # partial (strict=False) warm start: pretrain -> finetune flows
+            from bio_diffusion_tpu.train.checkpoints import warm_start_params
+
+            merged, n_loaded, skipped = warm_start_params(
+                exp.trainer.warm_start_ckpt, params,
+                source=exp.trainer.warm_start_source,
+            )
+            log.info(
+                f"Warm start from {exp.trainer.warm_start_ckpt}: "
+                f"{n_loaded} leaves loaded, {len(skipped)} kept fresh"
+                + (f" (e.g. {skipped[:3]})" if skipped else "")
+            )
+            self.state = create_train_state(merged, self.optimizer)
         if self.mesh is not None:
             # place the whole state on the mesh (after any restore, so fresh
             # and resumed leaves get consistent shardings)

@@ -105,6 +105,31 @@ def make_train_step(
         return new_state, metrics
 
     if accumulate_grad_batches <= 1:
+        if diffusion_cfg.debug_invariants:
+            # debug mode: run the grad computation under checkify; the error
+            # flag rides through the jit as a value and is thrown on the host
+            from jax.experimental import checkify
+
+            from bio_diffusion_tpu.utils.debug import user_checks
+
+            def _checked(state: TrainState, batch: DenseMolBatch, rng):
+                rng = jax.random.fold_in(rng, state.step)
+                err, ((_, info), grads) = checkify.checkify(
+                    lambda p: jax.value_and_grad(loss_fn, has_aux=True)(p, batch, rng),
+                    errors=user_checks,
+                )(state.params)
+                new_state, metrics = _apply(state, grads, info)
+                return new_state, metrics, err
+
+            jitted = jax.jit(_checked, donate_argnums=(0,) if donate else ())
+
+            def train_step(state, batch, rng):
+                new_state, metrics, err = jitted(state, batch, rng)
+                err.throw()
+                return new_state, metrics
+
+            return train_step
+
         def train_step(state: TrainState, batch: DenseMolBatch, rng):
             rng = jax.random.fold_in(rng, state.step)
             (_, info), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch, rng)
@@ -113,9 +138,26 @@ def make_train_step(
         return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
     k = accumulate_grad_batches
-    grad_fn = jax.jit(
-        lambda params, batch, rng: jax.value_and_grad(loss_fn, has_aux=True)(params, batch, rng)
-    )
+    if diffusion_cfg.debug_invariants:
+        from jax.experimental import checkify
+
+        from bio_diffusion_tpu.utils.debug import user_checks
+
+        _jgrad = jax.jit(
+            lambda params, batch, rng: checkify.checkify(
+                lambda p: jax.value_and_grad(loss_fn, has_aux=True)(p, batch, rng),
+                errors=user_checks,
+            )(params)
+        )
+
+        def grad_fn(params, batch, rng):
+            err, out = _jgrad(params, batch, rng)
+            err.throw()
+            return out
+    else:
+        grad_fn = jax.jit(
+            lambda params, batch, rng: jax.value_and_grad(loss_fn, has_aux=True)(params, batch, rng)
+        )
     scale = jax.jit(lambda tree: jax.tree.map(lambda a: a / k, tree))
     accum = jax.jit(lambda a, b: jax.tree.map(jnp.add, a, b))
     apply_fn = jax.jit(_apply, donate_argnums=(0,) if donate else ())
@@ -144,6 +186,24 @@ def make_eval_step(
 ) -> Callable:
     """Jitted eval step computing the NLL on (typically EMA) params."""
     loss_fn = make_loss_fn(evd_module, diffusion_cfg, dataloader_cfg, log_pN_table, training=False)
+
+    if diffusion_cfg.debug_invariants:
+        from jax.experimental import checkify
+
+        from bio_diffusion_tpu.utils.debug import user_checks
+
+        jitted = jax.jit(
+            lambda params, batch, rng: checkify.checkify(loss_fn, errors=user_checks)(
+                params, batch, rng
+            )
+        )
+
+        def eval_step(params, batch: DenseMolBatch, rng):
+            err, (_, info) = jitted(params, batch, rng)
+            err.throw()
+            return info
+
+        return eval_step
 
     def eval_step(params, batch: DenseMolBatch, rng):
         loss, info = loss_fn(params, batch, rng)
