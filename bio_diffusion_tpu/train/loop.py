@@ -83,10 +83,45 @@ class Trainer:
                 normalizer=self.props_norms,
             )
 
+        # fast training path (VERDICT r1 item 5): same param tree, packed-
+        # layout forward with Pallas message kernels under a custom VJP.
+        # The Pallas kernel is not GSPMD-partitionable, so it engages only on
+        # a single device; the packed XLA mode is partitionable and engages
+        # under a mesh too.
+        self.evd_train = self.evd
+        if exp.trainer.fast_train in ("auto", "on"):
+            from bio_diffusion_tpu.models.gcpnet import GCPNetDynamics
+            from bio_diffusion_tpu.models.gcpnet_fast import (
+                FastGCPNetDynamics, supports_fast_path,
+            )
+
+            dyn = self.evd.dynamics
+            supported = isinstance(dyn, GCPNetDynamics) and supports_fast_path(
+                dyn.module_cfg, dyn.layer_cfg
+            )
+            if supported:
+                single = mesh is None or int(np.prod(list(mesh.shape.values()))) == 1
+                on_tpu = jax.devices()[0].platform == "tpu"
+                self.evd_train = self.evd.clone(
+                    dynamics=FastGCPNetDynamics(
+                        dyn.model_cfg, dyn.module_cfg, dyn.layer_cfg,
+                        dyn.diffusion_cfg, dyn.dataloader_cfg,
+                        compute_dtype=dyn.compute_dtype,
+                        use_pallas=on_tpu and single,
+                    )
+                )
+                log.info(
+                    "fast train path: packed-layout dynamics "
+                    f"(pallas={'on' if on_tpu and single else 'off'})"
+                )
+            elif exp.trainer.fast_train == "on":
+                raise ValueError("trainer.fast_train=on but the model config "
+                                 "is not supported by the fast path")
+
         self.optimizer = make_optimizer(exp.optimizer)
         self.accumulate_grad_batches = max(1, int(exp.trainer.accumulate_grad_batches))
         self.train_step = make_train_step(
-            self.evd, self.optimizer, exp.diffusion_cfg, exp.dataloader_cfg,
+            self.evd_train, self.optimizer, exp.diffusion_cfg, exp.dataloader_cfg,
             self.nodes_dist.log_prob_table,
             ema_decay=exp.trainer.ema_decay,
             clip_gradients=exp.module_cfg.clip_gradients,

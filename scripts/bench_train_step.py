@@ -1,0 +1,126 @@
+"""Training-step benchmark: module path vs fast (packed/Pallas) path.
+
+Measures steady-state wall time of the full jitted train step (loss -> grad
+-> adaptive clip -> AMSGrad -> EMA) on the flagship 9-layer QM9 GCPNet.
+
+Usage:
+  python scripts/bench_train_step.py [--batch 64] [--nodes 29] [--layers 9]
+      [--precision bf16|f32] [--paths module,xla,pallas] [--steps 20]
+      [--remat]   # remat applies to the module path only
+
+Prints one line per path: name, ms/step, steps/s.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+
+    def opt(flag, default):
+        if flag in argv:
+            return argv[argv.index(flag) + 1]
+        return default
+
+    batch = int(opt("--batch", 64))
+    nodes = int(opt("--nodes", 29))
+    layers = int(opt("--layers", 9))
+    precision = opt("--precision", "bf16")
+    steps = int(opt("--steps", 20))
+    paths = opt("--paths", "module,xla,pallas").split(",")
+    remat = "--remat" in argv
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if precision == "bf16":
+        jax.config.update("jax_default_matmul_precision", "bfloat16")
+
+    from bio_diffusion_tpu.config.schema import (
+        DataloaderConfig, DiffusionConfig, LayerConfig, ModelConfig, ModuleConfig,
+        OptimizerConfig,
+    )
+    from bio_diffusion_tpu.data.batch import DenseMolBatch
+    from bio_diffusion_tpu.models.diffusion import EquivariantVariationalDiffusion
+    from bio_diffusion_tpu.models.gcpnet import GCPNetDynamics
+    from bio_diffusion_tpu.models.gcpnet_fast import FastGCPNetDynamics
+    from bio_diffusion_tpu.ops.geometry import centralize
+    from bio_diffusion_tpu.train.state import create_train_state, make_optimizer
+    from bio_diffusion_tpu.train.step import make_train_step
+
+    cdt = "bfloat16" if precision == "bf16" else None
+    dc = DiffusionConfig(num_timesteps=1000)
+    dl = DataloaderConfig()
+    mc = ModelConfig(num_encoder_layers=layers)
+    mod, lcfg = ModuleConfig(), LayerConfig()
+
+    module_dyn = GCPNetDynamics(mc, mod, lcfg, dc, dl, remat_interactions=remat,
+                                compute_dtype=cdt)
+    evd = EquivariantVariationalDiffusion(dynamics=module_dyn, diffusion_cfg=dc,
+                                          dataloader_cfg=dl)
+
+    # synthetic batch at flagship shapes
+    rng = np.random.default_rng(0)
+    num_atoms = rng.integers(max(nodes - 10, 3), nodes + 1, size=batch)
+    mask = (np.arange(nodes)[None, :] < num_atoms[:, None]).astype(np.float32)
+    x = rng.normal(size=(batch, nodes, 3)).astype(np.float32) * mask[..., None]
+    types = rng.integers(0, 5, size=(batch, nodes))
+    one_hot = np.eye(5, dtype=np.float32)[types] * mask[..., None]
+    charges = (types + 1).astype(np.float32)[..., None] * mask[..., None]
+    b = DenseMolBatch(x=jnp.asarray(x), one_hot=jnp.asarray(one_hot),
+                      charges=jnp.asarray(charges), node_mask=jnp.asarray(mask),
+                      context=None)
+
+    key = jax.random.PRNGKey(0)
+    _, x0 = centralize(b.x, b.node_mask)
+    params = evd.init(key, x0, b.one_hot, b.charges, b.node_mask, key, training=True)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    print(f"# device={jax.devices()[0]} B={batch} N={nodes} L={layers} "
+          f"{precision} params={n_params:,} remat(module)={remat}", file=sys.stderr)
+
+    from bio_diffusion_tpu.models.distributions import NumNodesDistribution
+    hist = {int(n): int(c) for n, c in zip(*np.unique(num_atoms, return_counts=True))}
+    nodes_dist = NumNodesDistribution(hist)
+    opt_tx = make_optimizer(OptimizerConfig())
+
+    def bench(name, evd_variant):
+        step = make_train_step(evd_variant, opt_tx, dc, dl, nodes_dist.log_prob_table,
+                               donate=False)
+        state = create_train_state(params, opt_tx)
+        t0 = time.time()
+        state, metrics = step(state, b, jax.random.PRNGKey(1))
+        loss0 = float(metrics["loss"])  # forces completion
+        compile_s = time.time() - t0
+        t0 = time.time()
+        for i in range(steps):
+            state, metrics = step(state, b, jax.random.PRNGKey(2 + i))
+        loss = float(metrics["loss"])  # forces completion
+        dt = (time.time() - t0) / steps
+        print(f"{name}: {dt * 1e3:.1f} ms/step ({1.0 / dt:.2f} steps/s) "
+              f"compile={compile_s:.1f}s loss={loss:.4f}")
+        return dt
+
+    results = {}
+    if "module" in paths:
+        results["module"] = bench("module ", evd)
+    if "xla" in paths:
+        fast_xla = FastGCPNetDynamics(mc, mod, lcfg, dc, dl, compute_dtype=cdt,
+                                      use_pallas=False)
+        results["xla"] = bench("fast-xla", evd.clone(dynamics=fast_xla))
+    if "pallas" in paths:
+        fast_pl = FastGCPNetDynamics(mc, mod, lcfg, dc, dl, compute_dtype=cdt,
+                                     use_pallas=True)
+        results["pallas"] = bench("fast-pallas", evd.clone(dynamics=fast_pl))
+    if "module" in results:
+        for k, v in results.items():
+            if k != "module":
+                print(f"# speedup {k} vs module: {results['module'] / v:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

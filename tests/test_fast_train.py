@@ -1,0 +1,180 @@
+"""Trainable fast path: FastGCPNetDynamics (adopted param tree) forward and
+GRADIENT parity vs the module path, plus the custom-VJP Pallas message layer
+(interpret mode) — VERDICT r1 item 5 (Pallas on the training path).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bio_diffusion_tpu.config.schema import (
+    DataloaderConfig, DiffusionConfig, LayerConfig, ModelConfig, ModuleConfig,
+)
+from bio_diffusion_tpu.models.diffusion import EquivariantVariationalDiffusion
+from bio_diffusion_tpu.models.gcpnet import GCPNetDynamics
+from bio_diffusion_tpu.models.gcpnet_fast import (
+    FastGCPNetDynamics, make_message_layer_fn, message_layer_reference,
+    pack_chain_weights_jnp, pack_gcp1_weights_jnp,
+)
+from bio_diffusion_tpu.ops.geometry import centralize
+
+
+def _cfgs(num_layers=2):
+    dc = DiffusionConfig(num_timesteps=10)
+    dl = DataloaderConfig()
+    mc = ModelConfig(h_hidden_dim=16, chi_hidden_dim=4, e_hidden_dim=8, xi_hidden_dim=2,
+                     num_encoder_layers=num_layers)
+    return mc, ModuleConfig(), LayerConfig(), dc, dl
+
+
+def _inputs(key, b=3, n=7, f=6):
+    k1, k2 = jax.random.split(key)
+    node_mask = jnp.asarray(
+        (jnp.arange(n)[None, :] < jnp.array([[5], [7], [6]])).astype(jnp.float32)
+    )
+    xh = jax.random.normal(k1, (b, n, 3 + f)) * node_mask[..., None]
+    _, x = centralize(xh[..., :3], node_mask)
+    xh = jnp.concatenate([x, xh[..., 3:]], -1)
+    t = jax.random.uniform(k2, (b, 1))
+    return xh, t, node_mask
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mc, mod, lcfg, dc, dl = _cfgs()
+    module = GCPNetDynamics(mc, mod, lcfg, dc, dl, remat_interactions=False)
+    xh, t, node_mask = _inputs(jax.random.PRNGKey(0))
+    params = module.init(jax.random.PRNGKey(1), xh, t, node_mask)
+    fast = FastGCPNetDynamics(mc, mod, lcfg, dc, dl, use_pallas=False)
+    return module, fast, params, (xh, t, node_mask)
+
+
+def test_adopted_tree_forward_parity(setup):
+    """FastGCPNetDynamics applies with the module-path params unchanged and
+    reproduces the forward to float tolerance."""
+    module, fast, params, (xh, t, node_mask) = setup
+    out_mod = module.apply(params, xh, t, node_mask)
+    out_fast = fast.apply(params, xh, t, node_mask)
+    np.testing.assert_allclose(np.asarray(out_fast), np.asarray(out_mod),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_adopted_tree_init_matches_structure(setup):
+    """FastGCPNetDynamics.init produces the same tree structure as the
+    module path (values differ only by rng folding)."""
+    module, fast, params, (xh, t, node_mask) = setup
+    p2 = fast.init(jax.random.PRNGKey(2), xh, t, node_mask)
+    s1 = jax.tree_util.tree_structure(params)
+    s2 = jax.tree_util.tree_structure(p2)
+    assert s1 == s2
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        assert a.shape == b.shape
+
+
+def test_gradient_parity_vs_module(setup):
+    """d(loss)/d(params) matches between the module path and the trainable
+    packed-layout path (XLA mode, f32)."""
+    module, fast, params, (xh, t, node_mask) = setup
+
+    def loss(p, net):
+        out = net.apply(p, xh, t, node_mask)
+        return jnp.sum(out ** 2)
+
+    g_mod = jax.grad(lambda p: loss(p, module))(params)
+    g_fast = jax.grad(lambda p: loss(p, fast))(params)
+    flat_mod = jax.tree_util.tree_leaves_with_path(g_mod)
+    flat_fast = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(g_fast)}
+    assert len(flat_mod) == len(flat_fast)
+    for path, gm in flat_mod:
+        gf = flat_fast[jax.tree_util.keystr(path)]
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gm), rtol=5e-4, atol=5e-5,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+
+def test_custom_vjp_pallas_message_layer_interpret(setup):
+    """Pallas (interpret) forward == jnp reference forward, and the custom
+    VJP backward == AD through the reference."""
+    module, fast, params, (xh, t, node_mask) = setup
+    mc, mod, lcfg, dc, dl = _cfgs()
+
+    # build packed inputs from a real forward's featurization
+    from bio_diffusion_tpu.models.gcpnet_fast import (
+        _build_epack, _featurize, _gcp2_apply_cm, _gcp2_edge_wide,
+    )
+
+    dyn = params["params"]
+    f = _featurize(xh, t, node_mask, None, None, nx=3, dc=dc, mod=mod, n_cond=0,
+                   cdt=jnp.float32)
+    emb = dyn["gcp_embedding"]
+    e_emb, xi_emb = _gcp2_edge_wide(emb["edge_embedding"], f["e_s"], f["ev_cm"],
+                                    f["frames_flat"])
+    h_emb, chi_emb = _gcp2_apply_cm(emb["node_embedding"], f["h"], f["chi_cm"],
+                                    f["f_node_c"], scalar_act=False, gate_act=None)
+    b, n = f["b"], f["n"]
+    epack = _build_epack(e_emb, xi_emb, f["frames_flat"], f["edge_mask"], b, n,
+                         mc.xi_hidden_dim, jnp.float32)
+    mp = dyn["interaction_layers_0"]["interaction"]
+    g1 = pack_gcp1_weights_jnp(mp["message_fusion_0"], mc.h_hidden_dim,
+                               mc.chi_hidden_dim, mc.xi_hidden_dim, jnp.float32)
+    chain = pack_chain_weights_jnp(mp, lcfg.mp_cfg.num_message_layers, jnp.float32)
+    s_node = h_emb
+    v_node = chi_emb.reshape(b, n, 3 * mc.chi_hidden_dim)
+
+    ref_fn = make_message_layer_fn(mc.xi_hidden_dim, use_pallas=False)
+    pal_fn = make_message_layer_fn(mc.xi_hidden_dim, use_pallas=True, interpret=True)
+
+    s_ref, v_ref = ref_fn(s_node, v_node, epack, g1, chain)
+    s_pal, v_pal = pal_fn(s_node, v_node, epack, g1, chain)
+    np.testing.assert_allclose(np.asarray(s_pal), np.asarray(s_ref), rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(v_pal), np.asarray(v_ref), rtol=2e-5, atol=2e-6)
+
+    def scal(fn):
+        def g(s, v, e, g1_, ch):
+            a, bb = fn(s, v, e, g1_, ch)
+            return jnp.sum(a ** 2) + jnp.sum(bb ** 2)
+        return g
+
+    g_ref = jax.grad(scal(ref_fn), argnums=(0, 1, 2))(s_node, v_node, epack, g1, chain)
+    g_pal = jax.grad(scal(pal_fn), argnums=(0, 1, 2))(s_node, v_node, epack, g1, chain)
+    for a, b_ in zip(jax.tree.leaves(g_pal), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-5)
+
+
+def test_evd_train_step_with_fast_dynamics(setup):
+    """EVD cloned with FastGCPNetDynamics trains on the SAME param tree:
+    one step runs, loss finite, param tree structure preserved."""
+    import optax
+
+    from bio_diffusion_tpu.config.schema import OptimizerConfig
+    from bio_diffusion_tpu.data.batch import iterate_dense_batches
+    from bio_diffusion_tpu.data.synthetic import synthetic_qm9_like
+    from bio_diffusion_tpu.models.distributions import NumNodesDistribution
+    from bio_diffusion_tpu.train.state import create_train_state, make_optimizer
+    from bio_diffusion_tpu.train.step import make_train_step
+
+    mc, mod, lcfg, dc, dl = _cfgs()
+    module = GCPNetDynamics(mc, mod, lcfg, dc, dl, remat_interactions=False)
+    evd = EquivariantVariationalDiffusion(dynamics=module, diffusion_cfg=dc,
+                                          dataloader_cfg=dl)
+    fast = FastGCPNetDynamics(mc, mod, lcfg, dc, dl, use_pallas=False)
+    evd_fast = evd.clone(dynamics=fast)
+
+    ds = synthetic_qm9_like(num_molecules=8, max_nodes=8, seed=0)
+    rng = np.random.default_rng(0)
+    batch = next(iterate_dense_batches(ds, batch_size=8, rng=rng, shuffle=False, pad_to=8))
+    key = jax.random.PRNGKey(0)
+    _, x0 = centralize(jnp.asarray(batch.x), jnp.asarray(batch.node_mask))
+    params = evd.init(key, x0, jnp.asarray(batch.one_hot), jnp.asarray(batch.charges),
+                      jnp.asarray(batch.node_mask), key, training=True)
+
+    hist = {int(n): int(c) for n, c in zip(*np.unique(ds.data["num_atoms"], return_counts=True))}
+    nodes_dist = NumNodesDistribution(hist)
+    opt = make_optimizer(OptimizerConfig())
+    step = make_train_step(evd_fast, opt, dc, dl, nodes_dist.log_prob_table, donate=False)
+    state = create_train_state(params, opt)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert jax.tree_util.tree_structure(new_state.params) == jax.tree_util.tree_structure(params)
