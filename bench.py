@@ -1,22 +1,29 @@
 """Headline benchmark: unconditional reverse-diffusion sampling throughput.
 
-Workloads (BENCH_WORKLOAD=qm9|geom, default qm9):
+Workloads (BENCH_WORKLOAD=qm9|geom|qm9_eval, default qm9):
 
   qm9  — 250 molecules x 1000 denoise steps, 19 atoms, 9-layer GCPNet.
          Reference: ~5 min on one CUDA GPU == ~833 denoiser evals/s
          (/root/reference/README.md:133-136).
-  geom — 250 molecules x 1000 denoise steps, 44 atoms, 4-layer GCPNet
+  geom — 250 molecules x 1000 steps, 44 atoms, 4-layer GCPNet
          (GEOM-Drugs config: 16 atom types, no charges, e=16/xi=8).
          Reference: ~15 min on one CUDA GPU == ~0.28 mol/s == ~280
          denoiser evals/s (/root/reference/README.md:166-169).
+  qm9_eval — the sample_and_analyze shape: NumNodesDistribution-sampled
+         sizes, multi-batch sampling through the bucket ladder (mask
+         varies per batch, same compiled shape), stability analysis on
+         host.  Mirrors the 10k-sample eval protocol (reference
+         mol_gen_eval.py) at BENCH_SAMPLES molecules; baseline is the
+         same 833 evals/s chip rate.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/baseline}
 
 Env knobs:
-  BENCH_WORKLOAD (qm9|geom), BENCH_STEPS (default 1000), BENCH_BATCH (250),
-  BENCH_NODES (19 qm9 / 44 geom), BENCH_PRECISION (f32|bf16, default bf16),
-  BENCH_REPEATS (default 1), BENCH_SEGMENT (scan segment size, default 250).
+  BENCH_WORKLOAD (qm9|geom|qm9_eval), BENCH_STEPS (default 1000),
+  BENCH_BATCH (250), BENCH_NODES (19 qm9 / 44 geom), BENCH_PRECISION
+  (f32|bf16, default bf16), BENCH_REPEATS (default 1), BENCH_SEGMENT
+  (scan segment size, default 250), BENCH_SAMPLES (qm9_eval, default 1000).
 """
 
 import json
@@ -29,6 +36,7 @@ import numpy as np
 WORKLOADS = {
     # name: (baseline denoiser evals/s, default nodes, model kwargs, dataloader kwargs)
     "qm9": (833.0, 19, {}, {}),
+    "qm9_eval": (833.0, 29, {}, {}),  # pad to QM9 max_n_nodes (one bucket)
     "geom": (
         280.0,
         44,
@@ -85,6 +93,45 @@ def main():
 
     segment = int(os.environ.get("BENCH_SEGMENT", 250))
     sampler = SegmentedSampler(evd, params, segment_size=segment)
+
+    if workload == "qm9_eval":
+        # multi-batch eval-protocol shape: distribution-sampled sizes, one
+        # padded bucket (QM9 Nmax), stability analysis on host
+        from bio_diffusion_tpu.data.dataset_info import get_dataset_info
+        from bio_diffusion_tpu.models.distributions import NumNodesDistribution
+        from bio_diffusion_tpu.train.sampling import analyze_samples, sample_molecules
+
+        info = get_dataset_info("QM9", remove_h=False)
+        nodes_dist = NumNodesDistribution(
+            {int(k): int(v) for k, v in info["n_nodes"].items()}
+        )
+        num_samples = int(os.environ.get("BENCH_SAMPLES", 1000))
+        rng = np.random.default_rng(0)
+        # compile pass (one batch)
+        sample_molecules(sampler, jax.random.PRNGKey(0), batch,
+                         nodes_dist, rng, batch_size=batch, pad_to=nodes,
+                         num_timesteps=steps)
+        t0 = time.time()
+        xh, masks, sizes = sample_molecules(
+            sampler, jax.random.PRNGKey(1), num_samples, nodes_dist, rng,
+            batch_size=batch, pad_to=nodes, num_timesteps=steps,
+        )
+        sample_s = time.time() - t0
+        t0 = time.time()
+        metrics = analyze_samples(xh, masks, info)
+        analyze_s = time.time() - t0
+        evals_per_s = num_samples * steps / sample_s
+        print(json.dumps({
+            "metric": "qm9_eval_protocol_denoiser_evals_per_s",
+            "value": round(evals_per_s, 2),
+            "unit": "denoiser evals/s (%d mols x %d steps, dist-sampled sizes, "
+                    "batch %d; host analyze %.1fs)"
+                    % (num_samples, steps, batch, analyze_s),
+            "vs_baseline": round(evals_per_s / baseline, 3),
+        }))
+        print(f"# sample={sample_s:.1f}s analyze={analyze_s:.1f}s metrics={metrics}",
+              file=sys.stderr)
+        return
 
     # compile + first run; NOTE: SegmentedSampler.run returns a host array,
     # which forces completion (the axon remote PJRT plugin's

@@ -189,10 +189,12 @@ class TrainerConfig:
     early_stopping_min_delta: float = 0.0
     early_stopping_mode: str = "min"  # [min, max]
     early_stopping_check_finite: bool = True
-    # fast training path: clone the EVD with FastGCPNetDynamics (packed-layout
-    # forward + Pallas message kernels under a custom VJP) for the train step.
-    # auto = when the model config supports it; the param tree is unchanged.
-    fast_train: str = "auto"  # [auto, on, off]
+    # fast training path: clone the EVD with FastGCPNetDynamics (wide packed-
+    # layout forward) for the train step; the param tree is unchanged.
+    # auto/on = packed XLA (fastest when activations fit HBM: 51 vs 81 ms/step
+    # on v5e, B=64 QM9); pallas = Pallas mega-kernel forward + custom-VJP
+    # recompute backward (its own remat — lower memory, 59.6 ms/step).
+    fast_train: str = "auto"  # [auto, on, pallas, off]
     # warm start (reference src/train.py:91-106 strict=False state_dict load):
     # orbax checkpoint dir or torch .ckpt; leaves that match by path+shape are
     # loaded, the rest keep fresh init.  Distinct from exact resume.

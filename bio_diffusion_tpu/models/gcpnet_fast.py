@@ -296,12 +296,21 @@ def message_layer_reference(s_node: Array, v_node: Array, epack: Array,
     xi = ep[..., se: se + 3 * ve_dim]
     ft = ep[..., se + 3 * ve_dim: se + 3 * ve_dim + 9]
     emask = ep[..., se + 3 * ve_dim + 9: se + 3 * ve_dim + 10]
-    frames = ft.reshape(b, n, n, 3, 3)  # [.., k, a] (coordinate-major k*3+a)
+
+    # wide selector-matmul scalarize (identical to the kernel's rep3/tile3
+    # construction): keeps every tensor 2D-wide so XLA's AD transposes stay
+    # wide too — no narrow [.., 3, 3] tiles in fwd OR bwd HBM traffic
+    col = jnp.arange(9)[None, :]
+    row = jnp.arange(3)[:, None]
+    rep3 = (col // 3 == row).astype(dt)
+    tile3 = (col % 3 == row).astype(dt)
+    ftiles = [
+        (ft[..., 3 * k: 3 * (k + 1)].astype(dt) @ tile3) for k in range(3)
+    ]
 
     def scalarize(vdf_cols):  # [..., 9] laid out k*3+c -> [..., 9] c*3+a
-        vdf = vdf_cols.reshape(vdf_cols.shape[:-1] + (3, 3))  # [k, c]
-        return jnp.einsum("...kc,...ka->...ca", vdf, frames.astype(vdf.dtype)).reshape(
-            vdf_cols.shape[:-1] + (9,)
+        return sum(
+            (vdf_cols[..., 3 * k: 3 * (k + 1)] @ rep3) * ftiles[k] for k in range(3)
         )
 
     # ---- GCP1 over the virtual concat (node_i | edge | node_j) ----
