@@ -57,6 +57,8 @@ def main():
     nodes = int(os.environ.get("BENCH_NODES", default_nodes))
     precision = os.environ.get("BENCH_PRECISION", "bf16")
     repeats = int(os.environ.get("BENCH_REPEATS", 1))
+    if "BENCH_LAYERS" in os.environ:  # cost-split diagnostics (fixed vs per-layer)
+        model_kwargs = dict(model_kwargs, num_encoder_layers=int(os.environ["BENCH_LAYERS"]))
 
     if precision == "bf16":
         jax.config.update("jax_default_matmul_precision", "bfloat16")

@@ -305,28 +305,41 @@ def _message_layer_kernel(
     # outputs
     s_agg_ref, v_agg_ref,
     *, ti: int, n: int, s_dim: int, v_dim: int, ve_dim: int,
-    h1: int, hc: int, num_gcps: int,
+    h1: int, hc: int, num_gcps: int, mols: int = 1,
 ):
     f32 = jnp.float32
-    rows = ti * n
-    s_n = s_node_ref[0]  # [N, S]
-    v_n = v_node_ref[0]  # [N, 3V]
-    ep = ep_ref[0]  # [TI*N, 128]
-    dt = s_n.dtype
-
+    dt = s_node_ref.dtype
     se = wse_ref.shape[0]
+
+    # Multi-molecule fusion (mols > 1, whole-molecule tiles only): the
+    # wrapper reshapes [B, N, .] -> [B/G, G*N, .] and [B, N*N, P] ->
+    # [B/G, G*N*N, P], so one grid cell holds G molecules FLATTENED into
+    # single big matmuls (M = G*N*N rows, selector K = G*N) — small
+    # per-molecule matmul shapes were the measured bottleneck (~22% MXU
+    # utilization at QM9 sizes), not per-cell overhead.  Row r of the cell
+    # maps to source node r // N (already molecule-flattened) and to target
+    # node (r // N**2)*N + r % N; the selectors encode exactly that, so
+    # cross-molecule terms are never selected.
+    rows = mols * ti * n
+    nn = mols * n  # flattened node count per cell
+
+    s_n = s_node_ref[0]  # [G*N, S]
+    v_n = v_node_ref[0]  # [G*N, 3V]
+    ep = ep_ref[0]  # [G*TI*N, P]
     e_feat = ep[:, :se]
     xi = ep[:, se: se + 3 * ve_dim]
     ft = ep[:, se + 3 * ve_dim: se + 3 * ve_dim + 9]
     emask = ep[:, se + 3 * ve_dim + 9: se + 3 * ve_dim + 10]
 
-    # row/target selectors: R[r, a] = [r // N == a] ; T[r, j] = [r % N == j]
-    r_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, ti), 0)
-    a_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, ti), 1)
+    # source selector: R[r, a] = [r // N == a]  (a indexes flattened nodes)
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, mols * ti), 0)
+    a_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, mols * ti), 1)
     R = (r_idx // n == a_idx).astype(dt)
-    rj_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 0)
-    j_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 1)
-    T = (rj_idx % n == j_idx).astype(dt)
+    # target selector: T[r, b] = [(r // N^2)*N + r % N == b]
+    rj_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, nn), 0)
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, nn), 1)
+    tgt = (rj_idx // (n * n)) * n + rj_idx % n
+    T = (tgt == j_idx).astype(dt)
 
     t = pl.program_id(1)
     i0 = pl.multiple_of(t * ti, ti)
@@ -451,16 +464,38 @@ def fused_message_layer(
         f"N={n} has no legal tile TI={ti}; pad N to a multiple of 8 for large molecules"
     )
 
-    grid = (b, n // ti)
+    # molecules fused per grid cell (whole-molecule tiles only): reshape
+    # [B, N, .] -> [B/G, G*N, .] OUTSIDE the kernel so each cell runs ONE
+    # set of big matmuls over G flattened molecules (M = G*N^2 rows,
+    # selector K = G*N).  Small per-molecule matmul shapes were the measured
+    # bottleneck (~22% MXU utilization at QM9 sizes); fusing G=5 molecules
+    # grows every MXU dimension without any node-axis padding.
+    mols = 1
+    if ti == n:
+        budget = max(1, 2048 // (n * n))  # bound cell rows (VMEM)
+        for cand in range(min(b, budget, 8), 0, -1):
+            if b % cand == 0:
+                mols = cand
+                break
+
+    if mols > 1:
+        s_node = s_node.reshape(b // mols, mols * n, s_dim)
+        v_node = v_node.reshape(b // mols, mols * n, v3)
+        epack = epack.reshape(b // mols, mols * n * n, p)
+
+    grid = (b // mols, n // ti)
 
     def nspec(width):
-        return pl.BlockSpec((1, n, width), lambda bb, tt: (bb, 0, 0), memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, mols * n, width), lambda bb, tt: (bb, 0, 0),
+                            memory_space=pltpu.VMEM)
 
     def espec():
-        return pl.BlockSpec((1, ti * n, p), lambda bb, tt: (bb, tt, 0), memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, mols * ti * n, p), lambda bb, tt: (bb, tt, 0),
+                            memory_space=pltpu.VMEM)
 
     def ospec(width):
-        return pl.BlockSpec((1, ti, width), lambda bb, tt: (bb, tt, 0), memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, mols * ti, width), lambda bb, tt: (bb, tt, 0),
+                            memory_space=pltpu.VMEM)
 
     def full_spec(arr):
         return pl.BlockSpec(arr.shape, lambda bb, tt: tuple(0 for _ in arr.shape),
@@ -469,7 +504,7 @@ def fused_message_layer(
     kernel = functools.partial(
         _message_layer_kernel,
         ti=ti, n=n, s_dim=s_dim, v_dim=v_dim, ve_dim=ve_dim,
-        h1=h1, hc=hc, num_gcps=num_gcps,
+        h1=h1, hc=hc, num_gcps=num_gcps, mols=mols,
     )
 
     g1 = gcp1_w
@@ -496,11 +531,14 @@ def fused_message_layer(
         in_specs=[nspec(s_dim), nspec(v3), espec()] + [full_spec(w) for w in weight_args],
         out_specs=[ospec(s_dim), ospec(v3)],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n, s_dim), s_node.dtype),
-            jax.ShapeDtypeStruct((b, n, v3), v_node.dtype),
+            jax.ShapeDtypeStruct((b // mols, mols * n, s_dim), s_node.dtype),
+            jax.ShapeDtypeStruct((b // mols, mols * n, v3), v_node.dtype),
         ],
         cost_estimate=cost,
         interpret=interpret,
     )(s_node, v_node, epack, *weight_args)
 
+    if mols > 1:
+        s_agg = s_agg.reshape(b, n, s_dim)
+        v_agg = v_agg.reshape(b, n, v3)
     return s_agg, v_agg
