@@ -57,6 +57,16 @@ def initialize_multihost(
     pass them explicitly (or via JAX_COORDINATOR_ADDRESS etc.).  Call
     BEFORE any other jax API so jax.devices() returns the global view.
     """
+    import os
+
+    # explicit env contract used by the K8s job template
+    # (scripts/k8s/tpu_job_template.yaml): indexed Job pods export these
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address
