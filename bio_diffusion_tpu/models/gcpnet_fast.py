@@ -403,7 +403,9 @@ def _pad_nodes(xh, node_mask, context, xh_self_cond, use_pallas: bool):
     (masked rows; results unchanged).  Small molecules (n*n <= 1200) use
     whole-molecule blocks and stay unpadded."""
     n_orig = node_mask.shape[-1]
-    n_pad = ((-n_orig) % 8) if (use_pallas and n_orig * n_orig > 1200) else 0
+    from bio_diffusion_tpu.ops.pallas.gcp_kernel import WHOLE_MOL_ROWS
+
+    n_pad = ((-n_orig) % 8) if (use_pallas and n_orig * n_orig > WHOLE_MOL_ROWS) else 0
     if n_pad:
         padw = ((0, 0), (0, n_pad), (0, 0))
         xh = jnp.pad(xh, padw)

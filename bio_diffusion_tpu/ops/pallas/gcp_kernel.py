@@ -27,8 +27,10 @@ Math per GCP2 (vector_gate config; matches models/gcp.py GCP2 exactly):
   v'_k    = (vh_k @ Wu) * gate ;  s' = silu(s2)
   residual: s <- s + s', v <- v + v'
 
-Used on the inference/sampling path (the training path keeps the XLA
-implementation — same parameters, no custom VJP needed).
+Used on the inference/sampling path with baked weights, and on the training
+path (trainer.fast_train=pallas) with traced weights under a custom VJP
+whose backward is the jnp packed-layout reference
+(models/gcpnet_fast.py::message_layer_reference).
 """
 
 from __future__ import annotations
@@ -43,6 +45,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK = 1024
+# max edge rows per whole-molecule grid cell (VMEM-bounded); molecules with
+# n*n above this use sub-molecule tiling (which requires n % 8 == 0)
+WHOLE_MOL_ROWS = 2600
 
 
 def pack_chain_weights(wd, wdf, wu):
@@ -451,13 +456,13 @@ def fused_message_layer(
     num_gcps = w_comb.shape[0]
 
     if ti is None:
-        if n * n <= 1200:
+        if n * n <= WHOLE_MOL_ROWS:
             ti = n
         else:
             # sub-molecule tiling: output blocks (1, ti, S) need ti % 8 == 0,
             # so large molecules require n % 8 == 0 (callers pad; see
             # gcpnet_fast.forward)
-            ti = max(8, (1200 // n) // 8 * 8)
+            ti = max(8, (WHOLE_MOL_ROWS // n) // 8 * 8)
             while n % ti != 0 and ti > 8:
                 ti -= 8
     assert n % ti == 0, (

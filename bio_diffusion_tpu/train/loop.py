@@ -133,8 +133,10 @@ class Trainer:
             clip_gradients=exp.module_cfg.clip_gradients,
             accumulate_grad_batches=self.accumulate_grad_batches,
         )
+        # eval NLL through the same packed path as training (identical params)
         self.eval_step = make_eval_step(
-            self.evd, exp.diffusion_cfg, exp.dataloader_cfg, self.nodes_dist.log_prob_table
+            self.evd_train, exp.diffusion_cfg, exp.dataloader_cfg,
+            self.nodes_dist.log_prob_table,
         )
         self.loggers = loggers or MetricLoggers(CSVLogger(os.path.join(workdir, "metrics.csv")))
 
