@@ -37,6 +37,10 @@ WORKLOADS = {
     # name: (baseline denoiser evals/s, default nodes, model kwargs, dataloader kwargs)
     "qm9": (833.0, 19, {}, {}),
     "qm9_eval": (833.0, 29, {}, {}),  # pad to QM9 max_n_nodes (one bucket)
+    # property-conditional generation (reference mol_gen_eval_conditional_qm9
+    # demo, README.md:144): same chip-rate baseline as unconditional — the
+    # conditional model only adds one context channel
+    "qm9_cond": (833.0, 19, {}, {}),
     "geom": (
         280.0,
         44,
@@ -72,8 +76,10 @@ def main():
 
     dc = DiffusionConfig(num_timesteps=steps)
     dl = DataloaderConfig(**dl_kwargs)
+    conditional = workload == "qm9_cond"
+    mod = ModuleConfig(conditioning=("alpha",)) if conditional else ModuleConfig()
     net = GCPNetDynamics(
-        ModelConfig(**model_kwargs), ModuleConfig(), LayerConfig(), dc, dl,
+        ModelConfig(**model_kwargs), mod, LayerConfig(), dc, dl,
         remat_interactions=False,
         compute_dtype="bfloat16" if precision == "bf16" else None,
     )
@@ -81,6 +87,9 @@ def main():
 
     key = jax.random.PRNGKey(0)
     node_mask = jnp.ones((batch, nodes), dtype=jnp.float32)
+    context = (
+        jax.random.normal(jax.random.PRNGKey(3), (batch, nodes, 1)) if conditional else None
+    )
 
     # init params with a tiny dummy call (loss path) to build the full tree
     from bio_diffusion_tpu.ops.geometry import centralize
@@ -89,7 +98,9 @@ def main():
     _, x0 = centralize(x0, jnp.ones((2, nodes)))
     oh0 = jax.nn.one_hot(jnp.zeros((2, nodes), jnp.int32), k_types)
     ch0 = jnp.ones((2, nodes, int(dl.include_charges)))
-    params = evd.init(key, x0, oh0, ch0, jnp.ones((2, nodes)), key, training=False)
+    ctx0 = jax.random.normal(key, (2, nodes, 1)) if conditional else None
+    params = evd.init(key, x0, oh0, ch0, jnp.ones((2, nodes)), key, training=False,
+                      context=ctx0)
 
     from bio_diffusion_tpu.train.sampling import SegmentedSampler
 
@@ -139,19 +150,21 @@ def main():
     # which forces completion (the axon remote PJRT plugin's
     # block_until_ready can return early)
     t0 = time.time()
-    sampler.run(jax.random.PRNGKey(1), node_mask, num_timesteps=steps)
+    sampler.run(jax.random.PRNGKey(1), node_mask, num_timesteps=steps, context=context)
     compile_and_first = time.time() - t0
 
     times = []
     for i in range(repeats):
         t0 = time.time()
-        xh = sampler.run(jax.random.PRNGKey(2 + i), node_mask, num_timesteps=steps)
+        xh = sampler.run(jax.random.PRNGKey(2 + i), node_mask, num_timesteps=steps,
+                         context=context)
         times.append(time.time() - t0)
 
     elapsed = min(times)
     evals_per_s = batch * steps / elapsed
+    kind = "cond" if conditional else "uncond"
     result = {
-        "metric": f"{workload}_uncond_sampling_denoiser_evals_per_s",
+        "metric": f"{workload.split('_')[0]}_{kind}_sampling_denoiser_evals_per_s",
         "value": round(evals_per_s, 2),
         "unit": "denoiser evals/s (batch x steps / s; batch=%d, steps=%d, %d atoms, %s)"
         % (batch, steps, nodes, precision),

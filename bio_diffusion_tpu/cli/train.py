@@ -106,6 +106,8 @@ def main(argv=None):
             (z,), os.path.join(workdir, "graph"), name="dynamics",
         )
         log.info(f"Wrote computation graphs: {paths}")
+    if exp.trainer.profile and profile_dir is None:
+        profile_dir = os.path.join(workdir, "profile")
     from bio_diffusion_tpu.utils.profiling import profile_trace
     import time as _time
 

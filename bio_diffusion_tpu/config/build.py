@@ -46,11 +46,16 @@ def build_experiment(cfg: Dict[str, Any]) -> ExperimentConfig:
     precision = str(trainer_raw.get("precision", "fp32"))
     trainer = from_dict(TrainerConfig, trainer_raw)
     trainer.precision = precision
+    diffusion = from_dict(DiffusionConfig, model.get("diffusion_cfg", {}))
+    if trainer.detect_anomaly:
+        # reference trainer.detect_anomaly (configs/debug/default.yaml:33):
+        # here = compile the checkify invariant checks into the loss path
+        diffusion.debug_invariants = True
     return ExperimentConfig(
         model_cfg=from_dict(ModelConfig, model.get("model_cfg", {})),
         module_cfg=from_dict(ModuleConfig, model.get("module_cfg", {})),
         layer_cfg=layer,
-        diffusion_cfg=from_dict(DiffusionConfig, model.get("diffusion_cfg", {})),
+        diffusion_cfg=diffusion,
         dataloader_cfg=from_dict(DataloaderConfig, cfg.get("datamodule", {}).get("dataloader_cfg", {})),
         optimizer=from_dict(OptimizerConfig, model.get("optimizer", {})),
         trainer=trainer,

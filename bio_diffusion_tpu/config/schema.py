@@ -189,6 +189,18 @@ class TrainerConfig:
     early_stopping_min_delta: float = 0.0
     early_stopping_mode: str = "min"  # [min, max]
     early_stopping_check_finite: bool = True
+    # debug presets (reference configs/debug/*): batch limits are a fraction
+    # (<1.0) or an absolute count (>=1); overfit repeats the same first-k
+    # train batches every epoch; fast_dev_run = 1 train + 1 val batch, one
+    # epoch, no checkpoints; detect_anomaly compiles checkify invariants in
+    # (same switch as diffusion_cfg.debug_invariants)
+    limit_train_batches: float = 1.0
+    limit_val_batches: float = 1.0
+    limit_test_batches: float = 1.0
+    overfit_batches: int = 0
+    fast_dev_run: bool = False
+    detect_anomaly: bool = False
+    profile: bool = False  # jax.profiler trace to <workdir>/profile
     # fast training path: clone the EVD with FastGCPNetDynamics (wide packed-
     # layout forward) for the train step; the param tree is unchanged.
     # auto/on = packed XLA (fastest when activations fit HBM: 51 vs 81 ms/step

@@ -143,6 +143,7 @@ class Trainer:
         self.rng = np.random.default_rng(exp.seed)
         self.state = None
         self._eval_sampler = None  # lazily-built module-path sampler, reused across evals
+        self._overfit_cache = None  # first-k train batches for overfit_batches
 
     # -- setup ---------------------------------------------------------------
 
@@ -227,6 +228,32 @@ class Trainer:
 
     # -- phases ---------------------------------------------------------------
 
+    def _limited(self, iterator, limit: float):
+        """Yield at most limit batches (fraction = probabilistic cap is not
+        reproducible; we materialize the count lazily: fraction applies to
+        the batches actually seen)."""
+        exp = self.exp
+        if exp.trainer.fast_dev_run:
+            for i, b in enumerate(iterator):
+                if i >= 1:
+                    break
+                yield b
+            return
+        if limit >= 1.0 and float(limit) == 1.0:
+            yield from iterator
+            return
+        if limit >= 1.0:
+            cap = int(limit)
+            for i, b in enumerate(iterator):
+                if i >= cap:
+                    break
+                yield b
+            return
+        # fraction: buffer-free two-pass is wasteful; apply to a counted pass
+        batches = list(iterator)
+        cap = max(1, int(len(batches) * limit))
+        yield from batches[:cap]
+
     def train_epoch(self, epoch: int, max_steps: Optional[int] = None) -> Dict[str, float]:
         exp = self.exp
         key = jax.random.PRNGKey(exp.seed + 1)
@@ -234,7 +261,19 @@ class Trainer:
         n_batches = 0
         accum = self.accumulate_grad_batches
         micro: list = []
-        for batch in self._batch_iter("train"):
+        if exp.trainer.overfit_batches > 0:
+            # reference overfit_batches: the SAME first-k batches every epoch
+            if self._overfit_cache is None:
+                it = self._batch_iter("train", shuffle=False)
+                self._overfit_cache = [
+                    b for _, b in zip(range(exp.trainer.overfit_batches), it)
+                ]
+            batch_iter = iter(self._overfit_cache)
+        else:
+            batch_iter = self._limited(
+                self._batch_iter("train"), exp.trainer.limit_train_batches
+            )
+        for batch in batch_iter:
             if accum > 1:
                 # reference accumulate_grad_batches (trainer/default.yaml:29):
                 # k consecutive loader batches -> one clipped optimizer step
@@ -265,7 +304,10 @@ class Trainer:
         params = self.state.ema_params if use_ema else self.state.params
         key = jax.random.PRNGKey(self.exp.seed + 2)
         accs: Dict[str, list] = {}
-        for i, batch in enumerate(self._batch_iter(split, shuffle=False)):
+        limit = (self.exp.trainer.limit_test_batches if split == "test"
+                 else self.exp.trainer.limit_val_batches)
+        batch_iter = self._limited(self._batch_iter(split, shuffle=False), limit)
+        for i, batch in enumerate(batch_iter):
             info = self.eval_step(params, self._shard(batch), jax.random.fold_in(key, i))
             for k, v in info.items():
                 accs.setdefault(k, []).append(np.asarray(v))
@@ -337,6 +379,15 @@ class Trainer:
     def fit(self, max_epochs: Optional[int] = None, max_steps: Optional[int] = None):
         exp = self.exp
         max_epochs = max_epochs if max_epochs is not None else exp.trainer.max_epochs
+        if exp.trainer.fast_dev_run:
+            # reference trainer.fast_dev_run: 1 train + 1 val batch, one
+            # epoch, no checkpoints (configs/debug/fdr.yaml)
+            if self.state is None:
+                self.init_state(resume=False)
+            m = self.train_epoch(0)
+            v = self.validate(0)
+            log.info(f"fast_dev_run: train={m.get('loss'):.4f} val={v.get('loss'):.4f}")
+            return self.state
         if self.state is None:
             self.init_state()
         ckpt_dir = os.path.join(self.workdir, exp.trainer.ckpt_dir)
