@@ -363,17 +363,26 @@ def message_layer_reference(s_node: Array, v_node: Array, epack: Array,
 
 
 @functools.lru_cache(maxsize=None)
-def make_message_layer_fn(ve_dim: int, use_pallas: bool, interpret: bool = False):
+def make_message_layer_fn(ve_dim: int, use_pallas: bool, interpret: bool = False,
+                          kernel_bwd: bool = True):
     """(s_node, v_node, epack, g1, chain) -> (s_agg, v_agg), differentiable.
 
-    With ``use_pallas``: Pallas mega-kernel forward + custom VJP whose
-    backward recomputes through :func:`message_layer_reference` (no extra
-    residuals saved — the custom VJP is its own remat).  Without: the jnp
-    reference directly.
+    With ``use_pallas``: Pallas mega-kernel forward + custom VJP.  The
+    backward is the handwritten Pallas backward kernel
+    (ops/pallas/gcp_kernel.py::fused_message_layer_bwd — recomputes the
+    forward in VMEM, emits input + weight grads in one pass) when
+    ``kernel_bwd`` and the molecule fits whole-molecule cells; otherwise AD
+    through :func:`message_layer_reference` (recompute — the custom VJP is
+    its own remat either way).  Without ``use_pallas``: the jnp reference
+    directly.
     """
     ref = functools.partial(message_layer_reference, ve_dim=ve_dim)
     if not use_pallas:
         return ref
+
+    from bio_diffusion_tpu.ops.pallas.gcp_kernel import (
+        WHOLE_MOL_ROWS, fused_message_layer_bwd,
+    )
 
     @jax.custom_vjp
     def layer(s_node, v_node, epack, g1, chain):
@@ -385,6 +394,13 @@ def make_message_layer_fn(ve_dim: int, use_pallas: bool, interpret: bool = False
         return layer(s_node, v_node, epack, g1, chain), (s_node, v_node, epack, g1, chain)
 
     def bwd(residuals, cotangents):
+        s_node, v_node, epack, g1, chain = residuals
+        n = s_node.shape[1]
+        if kernel_bwd and n * n <= WHOLE_MOL_ROWS:
+            return fused_message_layer_bwd(
+                s_node, v_node, epack, g1, chain, cotangents,
+                ve_dim=ve_dim, interpret=interpret,
+            )
         _, vjp = jax.vjp(ref, *residuals)
         return vjp(cotangents)
 

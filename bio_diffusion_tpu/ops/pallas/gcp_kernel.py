@@ -547,3 +547,444 @@ def fused_message_layer(
         s_agg = s_agg.reshape(b, n, s_dim)
         v_agg = v_agg.reshape(b, n, v3)
     return s_agg, v_agg
+
+
+# ---------------------------------------------------------------------------
+# Handwritten backward kernel for the mega message layer.
+#
+# The packed-layout XLA AD backward is matmul-efficient but pays HBM traffic
+# for every saved edge-space residual (~4 x [E, 256]-scale tensors per layer
+# per direction).  This kernel recomputes the forward per cell in VMEM
+# (storing only the per-stage residual states) and emits input + weight
+# gradients in one pass: weight grads accumulate across the sequential grid
+# into constant-index output blocks (f32).
+#
+# Whole-molecule cells only (ti == n); the sub-tiled giant-molecule case
+# falls back to AD through message_layer_reference (gcpnet_fast.py).
+# ---------------------------------------------------------------------------
+
+
+def _silu_grad(x_f32, sig):
+    # d/dx [x * sigmoid(x)] = sig * (1 + x * (1 - sig))
+    return sig * (1.0 + x_f32 * (1.0 - sig))
+
+
+def _message_layer_bwd_kernel(
+    s_node_ref, v_node_ref, ep_ref, ds_agg_ref, dv_agg_ref,
+    # GCP1 weights
+    wvi_ref, wvj_ref, wve_ref, wsi_ref, wse_ref, wsj_ref, wsvn_ref, wssc_ref,
+    bs1_ref, wu1_ref, wg1_ref, bg1_ref,
+    # chain weights
+    wcomb_ref, wsc_ref, bsc_ref, wubd_ref, wgc_ref, bgc_ref, wattn_ref, battn_ref,
+    # outputs: input grads (per cell)
+    dsn_ref, dvn_ref, dep_ref,
+    # outputs: weight grads (accumulated across the grid, f32)
+    dwvi_ref, dwvj_ref, dwve_ref, dwsi_ref, dwse_ref, dwsj_ref, dwsvn_ref,
+    dwssc_ref, dbs1_ref, dwu1_ref, dwg1_ref, dbg1_ref,
+    dwcomb_ref, dwsc_ref, dbsc_ref, dwubd_ref, dwgc_ref, dbgc_ref,
+    dwattn_ref, dbattn_ref,
+    *, n: int, s_dim: int, v_dim: int, ve_dim: int,
+    h1: int, hc: int, num_gcps: int, mols: int,
+):
+    f32 = jnp.float32
+    dt = s_node_ref.dtype
+    se = wse_ref.shape[0]
+    rows = mols * n * n
+    nn = mols * n
+    v3 = 3 * v_dim
+    h3 = 3 * h1
+    hc3 = 3 * hc
+    p = ep_ref.shape[-1]
+
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _init_weight_grads():
+        for ref in (dwvi_ref, dwvj_ref, dwve_ref, dwsi_ref, dwse_ref, dwsj_ref,
+                    dwsvn_ref, dwssc_ref, dbs1_ref, dwu1_ref, dwg1_ref, dbg1_ref,
+                    dwcomb_ref, dwsc_ref, dbsc_ref, dwubd_ref, dwgc_ref, dbgc_ref,
+                    dwattn_ref, dbattn_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    s_n = s_node_ref[0]  # [NN, S]
+    v_n = v_node_ref[0]  # [NN, 3V]
+    ep = ep_ref[0]  # [ROWS, P]
+    e_feat = ep[:, :se]
+    xi = ep[:, se: se + 3 * ve_dim]
+    ft = ep[:, se + 3 * ve_dim: se + 3 * ve_dim + 9]
+    emask = ep[:, se + 3 * ve_dim + 9: se + 3 * ve_dim + 10].astype(f32)
+
+    # selectors (f32 for grad matmuls)
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, nn), 0)
+    a_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, nn), 1)
+    R = (r_idx // n == a_idx).astype(f32)
+    tgt = (r_idx // (n * n)) * n + r_idx % n
+    T = (tgt == a_idx).astype(f32)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (3, 9), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (3, 9), 0)
+    rep3 = (col // 3 == row).astype(f32)
+    tile3 = (col % 3 == row).astype(f32)
+    ftiles = [
+        jnp.dot(ft[:, 3 * k: 3 * (k + 1)].astype(f32), tile3, preferred_element_type=f32)
+        for k in range(3)
+    ]
+
+    def scalarize_fwd(vdf_all):
+        projs = [
+            jnp.dot(vdf_all[:, 3 * k: 3 * (k + 1)], rep3, preferred_element_type=f32)
+            for k in range(3)
+        ]
+        return sum(pk * fk for pk, fk in zip(projs, ftiles)), projs
+
+    # ---- forward recompute, storing stage states ----
+    Rdt = R.astype(dt)
+    Tdt = T.astype(dt)
+    vhd1 = (
+        jnp.dot(Rdt, jnp.dot(v_n, wvi_ref[...], preferred_element_type=f32).astype(dt),
+                preferred_element_type=f32)
+        + jnp.dot(Tdt, jnp.dot(v_n, wvj_ref[...], preferred_element_type=f32).astype(dt),
+                  preferred_element_type=f32)
+        + jnp.dot(xi, wve_ref[...], preferred_element_type=f32)
+    )  # [rows, 3H1+9] f32
+    q1 = sum(vhd1[:, k * h1:(k + 1) * h1] ** 2 for k in range(3))
+    root1 = jnp.sqrt(q1 + 1e-8)
+    vnorm1 = root1 + 1e-8
+    schid1, projs1 = scalarize_fwd(vhd1[:, h3:])
+    s2_1 = (
+        jnp.dot(Rdt, jnp.dot(s_n, wsi_ref[...], preferred_element_type=f32).astype(dt),
+                preferred_element_type=f32)
+        + jnp.dot(Tdt, jnp.dot(s_n, wsj_ref[...], preferred_element_type=f32).astype(dt),
+                  preferred_element_type=f32)
+        + jnp.dot(e_feat, wse_ref[...], preferred_element_type=f32)
+        + jnp.dot(vnorm1.astype(dt), wsvn_ref[...], preferred_element_type=f32)
+        + jnp.dot(schid1.astype(dt), wssc_ref[...], preferred_element_type=f32)
+        + bs1_ref[...].astype(f32)
+    )
+    sig1 = jax.nn.sigmoid(s2_1)
+    silu1 = (s2_1 * sig1).astype(dt)
+    zg1 = jnp.dot(silu1, wg1_ref[...], preferred_element_type=f32) + bg1_ref[...].astype(f32)
+    gate1 = jax.nn.sigmoid(zg1)
+    gate1_dt = gate1.astype(dt)
+    vu1 = jnp.dot(vhd1[:, :h3].astype(dt), wu1_ref[...], preferred_element_type=f32).astype(dt)
+    g3_1 = jnp.concatenate([gate1_dt] * 3, axis=-1)
+
+    s_stages = [silu1]
+    v_stages = [vu1 * g3_1]
+    for g in range(num_gcps):
+        s_g, v_g = s_stages[-1], v_stages[-1]
+        vhd_g = jnp.dot(v_g, wcomb_ref[g], preferred_element_type=f32)
+        q_g = sum(vhd_g[:, k * hc:(k + 1) * hc] ** 2 for k in range(3))
+        vnorm_g = jnp.sqrt(q_g + 1e-8) + 1e-8
+        schid_g, _ = scalarize_fwd(vhd_g[:, hc3:])
+        merged = jnp.concatenate(
+            [s_g.astype(f32), vnorm_g, schid_g], axis=-1
+        ).astype(dt)
+        s2_g = jnp.dot(merged, wsc_ref[g], preferred_element_type=f32) + bsc_ref[g].astype(f32)
+        sig_g = jax.nn.sigmoid(s2_g)
+        silu_g = (s2_g * sig_g).astype(dt)
+        gate_g = jax.nn.sigmoid(
+            jnp.dot(silu_g, wgc_ref[g], preferred_element_type=f32) + bgc_ref[g].astype(f32)
+        ).astype(dt)
+        vu_g = jnp.dot(vhd_g[:, :hc3].astype(dt), wubd_ref[g], preferred_element_type=f32).astype(dt)
+        s_stages.append(s_g + silu_g)
+        v_stages.append(v_g + vu_g * jnp.concatenate([gate_g] * 3, axis=-1))
+
+    s_fin = s_stages[-1]  # [rows, S] pre-attention
+    v_fin = v_stages[-1]
+    z_attn = jnp.dot(s_fin, wattn_ref[...], preferred_element_type=f32) + battn_ref[...].astype(f32)
+    attn = jax.nn.sigmoid(z_attn)  # [rows, 1] f32
+
+    # ---- backward ----
+    ds_agg = ds_agg_ref[0].astype(f32)  # [NN, S]
+    dv_agg = dv_agg_ref[0].astype(f32)  # [NN, 3V]
+    d_s_out = jnp.dot(R, ds_agg, preferred_element_type=f32)  # [rows, S]
+    d_v_out = jnp.dot(R, dv_agg, preferred_element_type=f32)  # [rows, 3V]
+
+    s_fin32 = s_fin.astype(f32)
+    v_fin32 = v_fin.astype(f32)
+    ds = d_s_out * attn * emask
+    d_attn = jnp.sum(d_s_out * s_fin32 * emask, axis=1, keepdims=True)
+    dv = d_v_out * emask
+    d_emask = (
+        jnp.sum(d_s_out * s_fin32 * attn, axis=1, keepdims=True)
+        + jnp.sum(d_v_out * v_fin32, axis=1, keepdims=True)
+    )
+    d_z_attn = d_attn * attn * (1.0 - attn)
+    dwattn_ref[...] += jnp.dot(s_fin32.T, d_z_attn, preferred_element_type=f32)
+    dbattn_ref[...] += jnp.sum(d_z_attn, axis=0, keepdims=True)
+    ds = ds + jnp.dot(d_z_attn, wattn_ref[...].astype(f32).T, preferred_element_type=f32)
+
+    d_ft = jnp.zeros((rows, 9), f32)
+
+    def norm_schid_bwd(vhd_g, d_vnorm, d_schid, root, hdim, d_lin):
+        """Backward of vnorm + scalarize (+ the vu linear path d_lin into the
+        first 3h columns), returning d_vhd [rows, 3h+9] and the d_ft
+        contribution [rows, 9] (k-major, matching the ft layout)."""
+        hh3 = 3 * hdim
+        d_q = d_vnorm * (0.5 / root)
+        d_vh = jnp.concatenate(
+            [2.0 * vhd_g[:, k * hdim:(k + 1) * hdim] * d_q for k in range(3)], axis=1
+        ) + d_lin
+        d_vdf_parts = []
+        d_ft_parts = []
+        for k in range(3):
+            proj_k = jnp.dot(vhd_g[:, hh3 + 3 * k: hh3 + 3 * (k + 1)], rep3,
+                             preferred_element_type=f32)
+            d_proj = d_schid * ftiles[k]
+            d_vdf_parts.append(jnp.dot(d_proj, rep3.T, preferred_element_type=f32))
+            d_ft_parts.append(
+                jnp.dot(d_schid * proj_k, tile3.T, preferred_element_type=f32)
+            )
+        d_vhd = jnp.concatenate([d_vh] + d_vdf_parts, axis=1)
+        return d_vhd, jnp.concatenate(d_ft_parts, axis=1)
+
+    # chain stages in reverse
+    for g in reversed(range(num_gcps)):
+        s_in, v_in = s_stages[g], v_stages[g]
+        # recompute stage internals
+        vhd_g = jnp.dot(v_in, wcomb_ref[g], preferred_element_type=f32)
+        q_g = sum(vhd_g[:, k * hc:(k + 1) * hc] ** 2 for k in range(3))
+        root_g = jnp.sqrt(q_g + 1e-8)
+        vnorm_g = root_g + 1e-8
+        schid_g, _ = scalarize_fwd(vhd_g[:, hc3:])
+        merged = jnp.concatenate(
+            [s_in.astype(f32), vnorm_g, schid_g], axis=-1
+        ).astype(dt)
+        s2_g = jnp.dot(merged, wsc_ref[g], preferred_element_type=f32) + bsc_ref[g].astype(f32)
+        sig_g = jax.nn.sigmoid(s2_g)
+        silu_g = (s2_g * sig_g).astype(dt)
+        gate_g = jax.nn.sigmoid(
+            jnp.dot(silu_g, wgc_ref[g], preferred_element_type=f32) + bgc_ref[g].astype(f32)
+        )
+        vu_g = jnp.dot(vhd_g[:, :hc3].astype(dt), wubd_ref[g], preferred_element_type=f32)
+
+        gate3 = jnp.concatenate([gate_g] * 3, axis=-1)
+        d_silu = ds
+        d_vu = dv * gate3
+        d_gate = sum(
+            dv[:, k * v_dim:(k + 1) * v_dim] * vu_g[:, k * v_dim:(k + 1) * v_dim]
+            for k in range(3)
+        )
+        d_zg = d_gate * gate_g * (1.0 - gate_g)
+        silu_g32 = silu_g.astype(f32)
+        dwgc_ref[g] += jnp.dot(silu_g32.T, d_zg, preferred_element_type=f32)
+        dbgc_ref[g:g + 1] += jnp.sum(d_zg, axis=0, keepdims=True)
+        d_silu = d_silu + jnp.dot(d_zg, wgc_ref[g].astype(f32).T, preferred_element_type=f32)
+        d_s2 = d_silu * _silu_grad(s2_g, sig_g)
+        merged32 = merged.astype(f32)
+        dwsc_ref[g] += jnp.dot(merged32.T, d_s2, preferred_element_type=f32)
+        dbsc_ref[g:g + 1] += jnp.sum(d_s2, axis=0, keepdims=True)
+        d_merged = jnp.dot(d_s2, wsc_ref[g].astype(f32).T, preferred_element_type=f32)
+        d_s_in = ds + d_merged[:, :s_dim]
+        d_vnorm = d_merged[:, s_dim:s_dim + hc]
+        d_schid = d_merged[:, s_dim + hc:]
+        # vu path into vhd
+        dwubd_ref[g] += jnp.dot(vhd_g[:, :hc3].astype(f32).T, d_vu, preferred_element_type=f32)
+        d_vhd_lin = jnp.dot(d_vu, wubd_ref[g].astype(f32).T, preferred_element_type=f32)
+        d_vhd, d_ft_loc = norm_schid_bwd(vhd_g, d_vnorm, d_schid, root_g, hc, d_vhd_lin)
+        d_ft = d_ft + d_ft_loc
+        dwcomb_ref[g] += jnp.dot(v_in.astype(f32).T, d_vhd, preferred_element_type=f32)
+        d_v_in = dv + jnp.dot(d_vhd, wcomb_ref[g].astype(f32).T, preferred_element_type=f32)
+        ds, dv = d_s_in, d_v_in
+
+    # ---- GCP1 backward ----
+    d_silu1 = ds
+    d_vu1 = dv * g3_1.astype(f32)
+    vu1_32 = vu1.astype(f32)
+    d_gate1 = sum(
+        dv[:, k * v_dim:(k + 1) * v_dim] * vu1_32[:, k * v_dim:(k + 1) * v_dim]
+        for k in range(3)
+    )
+    d_zg1 = d_gate1 * gate1 * (1.0 - gate1)
+    silu1_32 = silu1.astype(f32)
+    dwg1_ref[...] += jnp.dot(silu1_32.T, d_zg1, preferred_element_type=f32)
+    dbg1_ref[...] += jnp.sum(d_zg1, axis=0, keepdims=True)
+    d_silu1 = d_silu1 + jnp.dot(d_zg1, wg1_ref[...].astype(f32).T, preferred_element_type=f32)
+    d_s2 = d_silu1 * _silu_grad(s2_1, sig1)
+
+    dbs1_ref[...] += jnp.sum(d_s2, axis=0, keepdims=True)
+    rt_ds2 = jnp.dot(R.T, d_s2, preferred_element_type=f32)  # [NN, S]
+    tt_ds2 = jnp.dot(T.T, d_s2, preferred_element_type=f32)
+    s_n32 = s_n.astype(f32)
+    dwsi_ref[...] += jnp.dot(s_n32.T, rt_ds2, preferred_element_type=f32)
+    dwsj_ref[...] += jnp.dot(s_n32.T, tt_ds2, preferred_element_type=f32)
+    d_s_node = (
+        jnp.dot(rt_ds2, wsi_ref[...].astype(f32).T, preferred_element_type=f32)
+        + jnp.dot(tt_ds2, wsj_ref[...].astype(f32).T, preferred_element_type=f32)
+    )
+    d_e = jnp.dot(d_s2, wse_ref[...].astype(f32).T, preferred_element_type=f32)
+    dwse_ref[...] += jnp.dot(e_feat.astype(f32).T, d_s2, preferred_element_type=f32)
+    d_vnorm1 = jnp.dot(d_s2, wsvn_ref[...].astype(f32).T, preferred_element_type=f32)
+    dwsvn_ref[...] += jnp.dot(vnorm1.T, d_s2, preferred_element_type=f32)
+    d_schid1 = jnp.dot(d_s2, wssc_ref[...].astype(f32).T, preferred_element_type=f32)
+    dwssc_ref[...] += jnp.dot(schid1.T, d_s2, preferred_element_type=f32)
+
+    dwu1_ref[...] += jnp.dot(vhd1[:, :h3].T, d_vu1, preferred_element_type=f32)
+    d_vhd_lin1 = jnp.dot(d_vu1, wu1_ref[...].astype(f32).T, preferred_element_type=f32)
+    d_vhd1, d_ft_loc1 = norm_schid_bwd(vhd1, d_vnorm1, d_schid1, root1, h1, d_vhd_lin1)
+    d_ft = d_ft + d_ft_loc1
+
+    rt_dvhd = jnp.dot(R.T, d_vhd1, preferred_element_type=f32)  # [NN, 3H1+9]
+    tt_dvhd = jnp.dot(T.T, d_vhd1, preferred_element_type=f32)
+    v_n32 = v_n.astype(f32)
+    dwvi_ref[...] += jnp.dot(v_n32.T, rt_dvhd, preferred_element_type=f32)
+    dwvj_ref[...] += jnp.dot(v_n32.T, tt_dvhd, preferred_element_type=f32)
+    d_v_node = (
+        jnp.dot(rt_dvhd, wvi_ref[...].astype(f32).T, preferred_element_type=f32)
+        + jnp.dot(tt_dvhd, wvj_ref[...].astype(f32).T, preferred_element_type=f32)
+    )
+    d_xi = jnp.dot(d_vhd1, wve_ref[...].astype(f32).T, preferred_element_type=f32)
+    dwve_ref[...] += jnp.dot(xi.astype(f32).T, d_vhd1, preferred_element_type=f32)
+
+    dsn_ref[0] = d_s_node.astype(dt)
+    dvn_ref[0] = d_v_node.astype(dt)
+    pad_w = p - (se + 3 * ve_dim + 9 + 1)
+    parts = [d_e, d_xi, d_ft, d_emask]
+    if pad_w:
+        parts.append(jnp.zeros((rows, pad_w), f32))
+    dep_ref[0] = jnp.concatenate(parts, axis=1).astype(dt)
+
+
+def fused_message_layer_bwd(
+    s_node: jax.Array,  # [B, N, S]
+    v_node: jax.Array,  # [B, N, 3V]
+    epack: jax.Array,  # [B, N*N, P]
+    gcp1_w: dict,
+    chain_w: tuple,
+    cotangents: Tuple[jax.Array, jax.Array],  # (d_s_agg [B,N,S], d_v_agg [B,N,3V])
+    ve_dim: int,
+    interpret: bool = False,
+):
+    """Backward pass of fused_message_layer (whole-molecule cells only).
+
+    Returns (d_s_node, d_v_node, d_epack, d_g1 dict, d_chain tuple) with
+    cotangent dtypes matching the primal inputs.
+    """
+    b, n, s_dim = s_node.shape
+    v3 = v_node.shape[-1]
+    v_dim = v3 // 3
+    p = epack.shape[-1]
+    h1 = gcp1_w["wu_bd"].shape[0] // 3
+    w_comb, wsc, bsc, wu_bd, wgc, bgc, wattn, battn = chain_w
+    hc = (w_comb.shape[2] - 9) // 3
+    num_gcps = w_comb.shape[0]
+    assert n * n <= WHOLE_MOL_ROWS, "bwd kernel covers whole-molecule cells only"
+
+    # smaller fusion than fwd: the bwd kernel keeps stage states + f32
+    # transients in VMEM, so bound cell rows tighter
+    mols = 1
+    budget = max(1, 1024 // (n * n))
+    for cand in range(min(b, budget, 8), 0, -1):
+        if b % cand == 0:
+            mols = cand
+            break
+
+    ds_agg, dv_agg = cotangents
+    if mols > 1:
+        s_node_r = s_node.reshape(b // mols, mols * n, s_dim)
+        v_node_r = v_node.reshape(b // mols, mols * n, v3)
+        epack_r = epack.reshape(b // mols, mols * n * n, p)
+        ds_agg_r = ds_agg.reshape(b // mols, mols * n, s_dim)
+        dv_agg_r = dv_agg.reshape(b // mols, mols * n, v3)
+    else:
+        s_node_r, v_node_r, epack_r = s_node, v_node, epack
+        ds_agg_r, dv_agg_r = ds_agg, dv_agg
+
+    grid = (b // mols,)
+    dt = s_node.dtype
+
+    def nspec(width):
+        return pl.BlockSpec((1, mols * n, width), lambda bb: (bb, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def espec():
+        return pl.BlockSpec((1, mols * n * n, p), lambda bb: (bb, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def full_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda bb: tuple(0 for _ in arr.shape),
+                            memory_space=pltpu.VMEM)
+
+    def acc_spec(shape):
+        return pl.BlockSpec(shape, lambda bb: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    g1 = gcp1_w
+    weight_args = [
+        g1["wvi"], g1["wvj"], g1["wve"], g1["wsi"], g1["wse"], g1["wsj"],
+        g1["wsvn"], g1["wssc"], g1["bs"], g1["wu_bd"], g1["wg"], g1["bg"],
+        w_comb, wsc, bsc, wu_bd, wgc, bgc, wattn, battn,
+    ]
+    se = g1["wse"].shape[0]
+
+    # weight-grad output shapes (f32; biases as 2D rows)
+    wg_shapes = [
+        g1["wvi"].shape, g1["wvj"].shape, g1["wve"].shape, g1["wsi"].shape,
+        g1["wse"].shape, g1["wsj"].shape, g1["wsvn"].shape, g1["wssc"].shape,
+        (1, s_dim),  # bs1
+        g1["wu_bd"].shape, g1["wg"].shape, (1, v_dim),  # bg1
+        w_comb.shape, wsc.shape, (num_gcps, s_dim), wu_bd.shape, wgc.shape,
+        (num_gcps, v_dim), wattn.shape, (1, 1),
+    ]
+
+    kernel = functools.partial(
+        _message_layer_bwd_kernel,
+        n=n, s_dim=s_dim, v_dim=v_dim, ve_dim=ve_dim,
+        h1=h1, hc=hc, num_gcps=num_gcps, mols=mols,
+    )
+
+    out_shape = (
+        [
+            jax.ShapeDtypeStruct(s_node_r.shape, dt),
+            jax.ShapeDtypeStruct(v_node_r.shape, dt),
+            jax.ShapeDtypeStruct(epack_r.shape, dt),
+        ]
+        + [jax.ShapeDtypeStruct(s, jnp.float32) for s in wg_shapes]
+    )
+    out_specs = (
+        [nspec(s_dim), nspec(v3), espec()]
+        + [acc_spec(s) for s in wg_shapes]
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[nspec(s_dim), nspec(v3), espec(), nspec(s_dim), nspec(v3)]
+        + [full_spec(w) for w in weight_args],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        # the recompute keeps stage states + f32 transients resident; the
+        # default 16 MiB scoped-vmem limit is conservative for v5e
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(s_node_r, v_node_r, epack_r, ds_agg_r, dv_agg_r, *weight_args)
+
+    d_sn, d_vn, d_ep = outs[0], outs[1], outs[2]
+    (d_wvi, d_wvj, d_wve, d_wsi, d_wse, d_wsj, d_wsvn, d_wssc, d_bs1,
+     d_wu1, d_wg1, d_bg1, d_wcomb, d_wsc, d_bsc, d_wubd, d_wgc, d_bgc,
+     d_wattn, d_battn) = outs[3:]
+
+    if mols > 1:
+        d_sn = d_sn.reshape(b, n, s_dim)
+        d_vn = d_vn.reshape(b, n, v3)
+        d_ep = d_ep.reshape(b, n * n, p)
+
+    def cast(g, like):
+        return g.astype(like.dtype)
+
+    d_g1 = {
+        "wvi": cast(d_wvi, g1["wvi"]), "wvj": cast(d_wvj, g1["wvj"]),
+        "wve": cast(d_wve, g1["wve"]), "wsi": cast(d_wsi, g1["wsi"]),
+        "wse": cast(d_wse, g1["wse"]), "wsj": cast(d_wsj, g1["wsj"]),
+        "wsvn": cast(d_wsvn, g1["wsvn"]), "wssc": cast(d_wssc, g1["wssc"]),
+        "bs": cast(d_bs1.reshape(g1["bs"].shape), g1["bs"]),
+        "wu_bd": cast(d_wu1, g1["wu_bd"]), "wg": cast(d_wg1, g1["wg"]),
+        "bg": cast(d_bg1.reshape(g1["bg"].shape), g1["bg"]),
+    }
+    d_chain = (
+        cast(d_wcomb, w_comb), cast(d_wsc, wsc), cast(d_bsc.reshape(bsc.shape), bsc),
+        cast(d_wubd, wu_bd), cast(d_wgc, wgc), cast(d_bgc.reshape(bgc.shape), bgc),
+        cast(d_wattn, wattn), cast(d_battn.reshape(battn.shape), battn),
+    )
+    return d_sn, d_vn, d_ep, d_g1, d_chain

@@ -105,8 +105,12 @@ class Trainer:
             if supported:
                 single = mesh is None or int(np.prod(list(mesh.shape.values()))) == 1
                 on_tpu = jax.devices()[0].platform == "tpu"
+                # auto on a single TPU chip: Pallas fwd + handwritten Pallas
+                # bwd kernel (48.4 vs 51.0 ms/step packed-XLA on v5e B=64
+                # QM9, with remat-level memory).  Under a mesh or off-TPU:
+                # packed XLA (GSPMD-partitionable).
                 use_pallas = (
-                    exp.trainer.fast_train == "pallas" and on_tpu and single
+                    exp.trainer.fast_train in ("auto", "pallas") and on_tpu and single
                 )
                 self.evd_train = self.evd.clone(
                     dynamics=FastGCPNetDynamics(

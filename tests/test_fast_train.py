@@ -178,3 +178,85 @@ def test_evd_train_step_with_fast_dynamics(setup):
     new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
     assert jax.tree_util.tree_structure(new_state.params) == jax.tree_util.tree_structure(params)
+
+
+def test_pallas_bwd_kernel_interpret(setup):
+    """Handwritten Pallas backward kernel (interpret) vs AD through the jnp
+    reference: input grads, epack grads, and ALL weight grads."""
+    module, fast, params, (xh, t, node_mask) = setup
+    mc, mod, lcfg, dc, dl = _cfgs()
+
+    from bio_diffusion_tpu.models.gcpnet_fast import (
+        _build_epack, _featurize, _gcp2_apply_cm, _gcp2_edge_wide,
+    )
+    from bio_diffusion_tpu.ops.pallas.gcp_kernel import fused_message_layer_bwd
+
+    dyn = params["params"]
+    f = _featurize(xh, t, node_mask, None, None, nx=3, dc=dc, mod=mod, n_cond=0,
+                   cdt=jnp.float32)
+    emb = dyn["gcp_embedding"]
+    e_emb, xi_emb = _gcp2_edge_wide(emb["edge_embedding"], f["e_s"], f["ev_cm"],
+                                    f["frames_flat"])
+    h_emb, chi_emb = _gcp2_apply_cm(emb["node_embedding"], f["h"], f["chi_cm"],
+                                    f["f_node_c"], scalar_act=False, gate_act=None)
+    b, n = f["b"], f["n"]
+    epack = _build_epack(e_emb, xi_emb, f["frames_flat"], f["edge_mask"], b, n,
+                         mc.xi_hidden_dim, jnp.float32)
+    mp = dyn["interaction_layers_0"]["interaction"]
+    g1 = pack_gcp1_weights_jnp(mp["message_fusion_0"], mc.h_hidden_dim,
+                               mc.chi_hidden_dim, mc.xi_hidden_dim, jnp.float32)
+    chain = pack_chain_weights_jnp(mp, lcfg.mp_cfg.num_message_layers, jnp.float32)
+    s_node = h_emb
+    v_node = chi_emb.reshape(b, n, 3 * mc.chi_hidden_dim)
+
+    ref_fn = make_message_layer_fn(mc.xi_hidden_dim, use_pallas=False)
+
+    def loss(s, v, e, g1_, ch):
+        a, bb = ref_fn(s, v, e, g1_, ch)
+        return jnp.sum(a ** 2) + jnp.sum(bb ** 2)
+
+    grads_ref = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(s_node, v_node, epack, g1, chain)
+
+    # cotangents of the quadratic loss at the primal outputs
+    s_agg, v_agg = ref_fn(s_node, v_node, epack, g1, chain)
+    ct = (2.0 * s_agg, 2.0 * v_agg)
+    out = fused_message_layer_bwd(
+        s_node, v_node, epack, g1, chain, ct, ve_dim=mc.xi_hidden_dim, interpret=True,
+    )
+    d_sn, d_vn, d_ep, d_g1, d_chain = out
+
+    np.testing.assert_allclose(np.asarray(d_sn), np.asarray(grads_ref[0]),
+                               rtol=5e-4, atol=1e-5, err_msg="d_s_node")
+    np.testing.assert_allclose(np.asarray(d_vn), np.asarray(grads_ref[1]),
+                               rtol=5e-4, atol=1e-5, err_msg="d_v_node")
+    np.testing.assert_allclose(np.asarray(d_ep), np.asarray(grads_ref[2]),
+                               rtol=5e-4, atol=1e-5, err_msg="d_epack")
+    for key in d_g1:
+        np.testing.assert_allclose(
+            np.asarray(d_g1[key]), np.asarray(grads_ref[3][key]),
+            rtol=1e-3, atol=1e-5, err_msg=f"d_g1[{key}]",
+        )
+    for i, (a, b_) in enumerate(zip(d_chain, grads_ref[4])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-5, err_msg=f"d_chain[{i}]")
+
+
+def test_full_grad_parity_pallas_bwd_interpret(setup):
+    """End-to-end trainable forward with Pallas fwd + Pallas bwd (interpret)
+    matches module-path gradients."""
+    module, _, params, (xh, t, node_mask) = setup
+    mc, mod, lcfg, dc, dl = _cfgs()
+    fast_pl = FastGCPNetDynamics(mc, mod, lcfg, dc, dl, use_pallas=True, interpret=True)
+
+    def loss(p, net):
+        out = net.apply(p, xh, t, node_mask)
+        return jnp.sum(out ** 2)
+
+    g_mod = jax.grad(lambda p: loss(p, module))(params)
+    g_pl = jax.grad(lambda p: loss(p, fast_pl))(params)
+    for (path, gm), gp in zip(jax.tree_util.tree_leaves_with_path(g_mod),
+                              jax.tree.leaves(g_pl)):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gm), rtol=2e-3, atol=2e-5,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )
