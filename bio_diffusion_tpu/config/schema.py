@@ -203,9 +203,10 @@ class TrainerConfig:
     profile: bool = False  # jax.profiler trace to <workdir>/profile
     # fast training path: clone the EVD with FastGCPNetDynamics (wide packed-
     # layout forward) for the train step; the param tree is unchanged.
-    # auto/on = packed XLA (fastest when activations fit HBM: 51 vs 81 ms/step
-    # on v5e, B=64 QM9); pallas = Pallas mega-kernel forward + custom-VJP
-    # recompute backward (its own remat — lower memory, 59.6 ms/step).
+    # auto/pallas on one TPU chip = Pallas mega-kernel fwd + handwritten
+    # Pallas bwd kernel (47.5 vs 81 ms/step module, v5e B=64 QM9, remat-level
+    # memory); on = packed-XLA differentiation (GSPMD-partitionable, used
+    # automatically under a mesh); off = module path.
     fast_train: str = "auto"  # [auto, on, pallas, off]
     # warm start (reference src/train.py:91-106 strict=False state_dict load):
     # orbax checkpoint dir or torch .ckpt; leaves that match by path+shape are

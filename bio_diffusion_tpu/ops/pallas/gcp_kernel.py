@@ -872,9 +872,10 @@ def fused_message_layer_bwd(
     assert n * n <= WHOLE_MOL_ROWS, "bwd kernel covers whole-molecule cells only"
 
     # smaller fusion than fwd: the bwd kernel keeps stage states + f32
-    # transients in VMEM, so bound cell rows tighter
+    # transients in VMEM (~24 MB at 841 rows), so bound cell rows by the
+    # raised 100 MiB scoped-vmem limit
     mols = 1
-    budget = max(1, 1024 // (n * n))
+    budget = max(1, 2048 // (n * n))
     for cand in range(min(b, budget, 8), 0, -1):
         if b % cand == 0:
             mols = cand

@@ -84,13 +84,11 @@ class Trainer:
             )
 
         # fast training path (VERDICT r1 item 5): same param tree, wide
-        # packed-layout forward.  Default (auto/on) differentiates the packed
-        # XLA math with saved residuals — measured fastest when activations
-        # fit HBM (51 vs 81 ms/step module, v5e B=64 QM9 bf16).  "pallas"
-        # runs the Pallas mega-kernel forward under a custom VJP whose
-        # backward recomputes through the packed math — its own remat, for
-        # memory-bound configs (59.6 ms/step).  The Pallas kernel is not
-        # GSPMD-partitionable, so it engages only on a single device.
+        # packed-layout forward through FastGCPNetDynamics.  On a single TPU
+        # chip (auto/pallas) the message layer runs the Pallas mega-kernel
+        # forward + the handwritten Pallas backward kernel; under a mesh or
+        # off-TPU, packed-XLA differentiation (GSPMD-partitionable).  "on"
+        # forces packed XLA everywhere.  Numbers in BASELINE.md.
         self.evd_train = self.evd
         if exp.trainer.fast_train in ("auto", "on", "pallas"):
             from bio_diffusion_tpu.models.gcpnet import GCPNetDynamics
@@ -106,7 +104,7 @@ class Trainer:
                 single = mesh is None or int(np.prod(list(mesh.shape.values()))) == 1
                 on_tpu = jax.devices()[0].platform == "tpu"
                 # auto on a single TPU chip: Pallas fwd + handwritten Pallas
-                # bwd kernel (48.4 vs 51.0 ms/step packed-XLA on v5e B=64
+                # bwd kernel (47.5 vs 51.0 ms/step packed-XLA on v5e B=64
                 # QM9, with remat-level memory).  Under a mesh or off-TPU:
                 # packed XLA (GSPMD-partitionable).
                 use_pallas = (
