@@ -2,7 +2,9 @@
 
 from __future__ import annotations
 
+import ast
 import dataclasses
+import operator
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -36,6 +38,28 @@ class ExperimentConfig:
         return int(self.raw.get("seed", 42))
 
 
+def safe_arith(text: Any):
+    """AST-restricted arithmetic evaluation for scheduler config expressions
+    (the safe counterpart of the reference's eval() interpolation workaround,
+    /root/reference/src/train.py:186-196): numbers and + - * / // only."""
+    ops = {
+        ast.Add: operator.add, ast.Sub: operator.sub, ast.Mult: operator.mul,
+        ast.FloorDiv: operator.floordiv, ast.Div: operator.truediv,
+        ast.USub: operator.neg,
+    }
+
+    def ev(n):
+        if isinstance(n, ast.Constant) and isinstance(n.value, (int, float)):
+            return n.value
+        if isinstance(n, ast.BinOp) and type(n.op) in ops:
+            return ops[type(n.op)](ev(n.left), ev(n.right))
+        if isinstance(n, ast.UnaryOp) and type(n.op) in ops:
+            return ops[type(n.op)](ev(n.operand))
+        raise ValueError(f"unsupported arithmetic expression: {text!r}")
+
+    return ev(ast.parse(str(text), mode="eval").body)
+
+
 def build_experiment(cfg: Dict[str, Any]) -> ExperimentConfig:
     model = cfg.get("model", {})
     layer_raw = dict(model.get("layer_cfg", {}))
@@ -51,13 +75,21 @@ def build_experiment(cfg: Dict[str, Any]) -> ExperimentConfig:
         # reference trainer.detect_anomaly (configs/debug/default.yaml:33):
         # here = compile the checkify invariant checks into the loss path
         diffusion.debug_invariants = True
+    # scheduler arithmetic strings like "${trainer.min_epochs} // 8" arrive
+    # interpolated as "50 // 8" — evaluate them safely (the AST-restricted
+    # counterpart of the reference's eval() workaround, src/train.py:186-196)
+    opt_raw = dict(model.get("optimizer", {}))
+    for k in ("lr", "step_size", "warmup_steps", "gamma"):
+        v = opt_raw.get(k)
+        if isinstance(v, str) and any(ch in v for ch in "+-*/ "):
+            opt_raw[k] = safe_arith(v)
     return ExperimentConfig(
         model_cfg=from_dict(ModelConfig, model.get("model_cfg", {})),
         module_cfg=from_dict(ModuleConfig, model.get("module_cfg", {})),
         layer_cfg=layer,
         diffusion_cfg=diffusion,
         dataloader_cfg=from_dict(DataloaderConfig, cfg.get("datamodule", {}).get("dataloader_cfg", {})),
-        optimizer=from_dict(OptimizerConfig, model.get("optimizer", {})),
+        optimizer=from_dict(OptimizerConfig, opt_raw),
         trainer=trainer,
         raw=cfg,
     )

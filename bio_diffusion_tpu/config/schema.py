@@ -161,6 +161,16 @@ class OptimizerConfig:
     b1: float = 0.9
     b2: float = 0.999
     eps: float = 1e-8
+    # optional LR schedule (reference model.scheduler, configs/model/
+    # qm9_mol_gen_ddpm.yaml:10-15 — StepLR commented out by default; config
+    # values may be arithmetic strings like "${trainer.min_epochs} // 8",
+    # evaluated at build time like the reference's train.py:186-196
+    # workaround).  Units here are OPTIMIZER STEPS (the TPU-native clock),
+    # not epochs.
+    scheduler: str = ""  # ["", step, cosine, linear_warmup]
+    step_size: int = 1000  # step: decay interval; cosine: decay horizon
+    gamma: float = 0.9  # step: multiplicative decay factor
+    warmup_steps: int = 0  # linear warmup prepended to any schedule
 
 
 @dataclasses.dataclass

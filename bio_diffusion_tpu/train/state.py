@@ -50,16 +50,40 @@ class TrainState:
         )
 
 
+def make_lr_schedule(cfg: OptimizerConfig):
+    """Optional LR schedule (reference model.scheduler): returns a float (no
+    schedule) or an optax schedule over optimizer steps."""
+    if not cfg.scheduler and cfg.warmup_steps <= 0:
+        return cfg.lr
+    if cfg.scheduler == "step":
+        # torch StepLR semantics: lr * gamma^(step // step_size)
+        base = optax.exponential_decay(
+            cfg.lr, transition_steps=cfg.step_size, decay_rate=cfg.gamma, staircase=True
+        )
+    elif cfg.scheduler == "cosine":
+        base = optax.cosine_decay_schedule(cfg.lr, decay_steps=max(cfg.step_size, 1))
+    elif cfg.scheduler in ("", "linear_warmup"):
+        base = optax.constant_schedule(cfg.lr)
+    else:
+        raise ValueError(f"unknown scheduler {cfg.scheduler!r}")
+    if cfg.warmup_steps > 0:
+        warmup = optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
+        return optax.join_schedules([warmup, base], [cfg.warmup_steps])
+    return base
+
+
 def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
-    """AMSGrad + decoupled weight decay, matching torch AdamW(amsgrad=True)."""
+    """AMSGrad + decoupled weight decay, matching torch AdamW(amsgrad=True),
+    with an optional LR schedule (see make_lr_schedule)."""
     if cfg.amsgrad:
         scale = optax.scale_by_amsgrad(b1=cfg.b1, b2=cfg.b2, eps=cfg.eps)
     else:
         scale = optax.scale_by_adam(b1=cfg.b1, b2=cfg.b2, eps=cfg.eps)
+    lr = make_lr_schedule(cfg)
     return optax.chain(
         scale,
         optax.add_decayed_weights(cfg.weight_decay),
-        optax.scale(-cfg.lr),
+        optax.scale_by_learning_rate(lr),
     )
 
 
