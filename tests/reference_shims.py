@@ -100,6 +100,15 @@ class _GraphBag:
     def __contains__(self, key):
         return hasattr(self, key)
 
+    def __getattr__(self, name):
+        # PyG Batch derives num_nodes from its node store; mirror that for
+        # bags constructed with only a `batch` index vector
+        if name == "num_nodes":
+            b = self.__dict__.get("batch")
+            if b is not None:
+                return b.shape[0]
+        raise AttributeError(name)
+
 
 def _make_torch_geometric():
     tg = _mod("torch_geometric")

@@ -456,3 +456,257 @@ def test_evd_deterministic_terms_parity(ref, x64):
     )
     assert np.allclose(np.asarray(our_lx), ref_lx.numpy(), rtol=1e-10, atol=1e-10)
     assert np.allclose(np.asarray(our_lh), ref_lh.numpy(), rtol=1e-10, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# executed-reference parity for the training objective and the sampler step
+# (VERDICT r2 #2): identical noise is injected on both sides, so the full
+# atom_types_and_coords_forward loss assembly (variational_diffusion.py:955-
+# 1160) and one sample_p_zs_given_zt reverse step (:1204-1278) plus the final
+# sample_p_xh_given_z0 decode (:840-907) are pinned to the reference CODE.
+# ---------------------------------------------------------------------------
+
+
+def _masked_noise(rng, node_mask):
+    """One dense [B, N, 9] noise fixture: CoM-free x part, iid h part.
+
+    Molecule 0's first atom carries ZERO x-noise and the rest of molecule 0
+    is projected to zero mean on its own: any z built as alpha*xh + sigma*eps
+    from an anchored xh then keeps z[0,0,:3] = 0, so the flat-vs-per-molecule
+    orientation convention (see _random_inputs) cannot leak into the network
+    inputs."""
+    B, N = node_mask.shape
+    eps = rng.normal(size=(B, N, 9)) * node_mask[..., None]
+    free = node_mask.astype(float).copy()
+    free[0, 0] = 0.0
+    mean = (eps[..., :3] * free[..., None]).sum(1, keepdims=True) / free.sum(1)[:, None, None]
+    eps[..., :3] -= mean
+    eps[..., :3] *= free[..., None]
+    return eps
+
+
+@pytest.fixture()
+def evd_pair(ref, x64):
+    """(ref_evd, our_evd, params, geometry) with identical random weights."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    ref_gcpnet, ref_vd = ref
+    from bio_diffusion_tpu.models.diffusion import EquivariantVariationalDiffusion
+    from bio_diffusion_tpu.models.gcpnet import GCPNetDynamics
+    from bio_diffusion_tpu.train.torch_import import import_state_dict
+
+    rng = np.random.default_rng(11)
+    sizes = [5, 3, 4]
+    n_max = 6
+    B = len(sizes)
+    node_mask = (np.arange(n_max)[None, :] < np.asarray(sizes)[:, None])
+    num_nodes = np.asarray(sizes)
+    dataset_info = {"n_nodes": {3: 2, 4: 5, 5: 10}}
+
+    cfgs = _ref_cfgs(ref_gcpnet)
+    torch.manual_seed(7)
+    ref_dyn = ref_gcpnet.GCPNetDynamics(*cfgs)
+    ref_evd = ref_vd.EquivariantVariationalDiffusion(
+        ref_dyn, cfgs[3], cfgs[4], dataset_info
+    ).double()
+
+    mc, mod, lc, dc, dl = _our_cfgs()
+    our_dyn = GCPNetDynamics(mc, mod, lc, dc, dl, remat_interactions=False)
+    our_evd = EquivariantVariationalDiffusion(
+        dynamics=our_dyn, diffusion_cfg=dc, dataloader_cfg=dl
+    )
+
+    xh0 = rng.normal(size=(B, n_max, 9)) * node_mask[..., None]
+    key = jax.random.PRNGKey(0)
+    template = our_evd.init(
+        key, jnp.asarray(xh0[..., :3]), jnp.asarray(xh0[..., 3:8]),
+        jnp.asarray(xh0[..., 8:]), jnp.asarray(node_mask, jnp.float64),
+        key, training=True,
+    )
+    template = jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), template)
+    sd = {k: v.detach().numpy() for k, v in ref_dyn.state_dict().items()}
+    params = {"params": {"dynamics": import_state_dict(sd, {"params": template["params"]["dynamics"]}, strict=True)["params"]}}
+    return ref_evd, our_evd, params, (node_mask, num_nodes, rng)
+
+
+def _clean_inputs(rng, node_mask):
+    """A CoM-free molecule batch on the data scale (x, one_hot, charges)."""
+    B, N = node_mask.shape
+    x = rng.normal(size=(B, N, 3)) * node_mask[..., None]
+    count = node_mask.sum(axis=1, keepdims=True)[..., None]
+    x -= x.sum(axis=1, keepdims=True) / count
+    x *= node_mask[..., None]
+    x[0, 0] = 0.0  # orientation-convention anchor (see _random_inputs)
+    types = rng.integers(0, 5, size=(B, N))
+    one_hot = np.eye(5)[types] * node_mask[..., None]
+    charges = (rng.integers(1, 9, size=(B, N, 1)) * node_mask[..., None]).astype(float)
+    return x, one_hot, charges
+
+
+def _patch_noise(monkeypatch, ref_evd, eps_fixtures):
+    """Make both sides draw the SAME noise sequence."""
+    import jax.numpy as jnp
+    import torch
+
+    from bio_diffusion_tpu.models.diffusion import EquivariantVariationalDiffusion
+
+    ref_seq = iter([torch.as_tensor(e.reshape(-1, e.shape[-1])) for e in eps_fixtures])
+    ref_evd.sample_combined_position_feature_noise = (
+        lambda batch_index, node_mask, generate_x_only=False: next(ref_seq)
+    )
+    our_seq = iter([jnp.asarray(e) for e in eps_fixtures])
+
+    def fake_sample_noise(self, key, node_mask, fix_noise=False):
+        return next(our_seq)
+
+    monkeypatch.setattr(EquivariantVariationalDiffusion, "sample_noise", fake_sample_noise)
+
+
+@pytest.mark.parametrize("training", [True, False])
+def test_training_loss_parity(ref, x64, evd_pair, monkeypatch, training):
+    """All loss terms of atom_types_and_coords_forward match the executed
+    reference at f64 with injected identical t and noise — both the training
+    L2 branch (t_is_zero masking, zeroed constants) and the eval VLB branch
+    (two-pass L0 estimation)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from reference_shims import make_batch
+
+    ref_evd, our_evd, params, (node_mask, num_nodes, rng) = evd_pair
+    B, N = node_mask.shape
+    x, one_hot, charges = _clean_inputs(rng, node_mask)
+
+    # fixture t: include a t=0 row in training mode to exercise the
+    # t_is_zero masking; eval draws from [1, T]
+    t_fix = np.array([[0], [700], [123]] if training else [[1], [700], [123]])
+    monkeypatch.setattr(
+        torch, "randint",
+        lambda *a, **k: torch.as_tensor(t_fix, dtype=torch.long),
+    )
+    monkeypatch.setattr(
+        jax.random, "randint",
+        lambda key, shape, minval, maxval: jnp.asarray(t_fix),
+    )
+    # training draws one noise (z_t); eval draws two (z_t, then z_0)
+    n_draws = 1 if training else 2
+    eps_fix = [_masked_noise(rng, node_mask) for _ in range(n_draws)]
+    _patch_noise(monkeypatch, ref_evd, eps_fix + eps_fix)  # ref first, ours second
+
+    ref_evd.train() if training else ref_evd.eval()
+    bidx = torch.as_tensor(np.repeat(np.arange(B), N), dtype=torch.long)
+    batch = make_batch(
+        batch=bidx,
+        mask=torch.as_tensor(node_mask.reshape(-1)),
+        num_graphs=B,
+        num_nodes_present=torch.as_tensor(num_nodes, dtype=torch.long),
+        num_nodes=B * N,
+        x=torch.as_tensor(x.reshape(B * N, 3)),
+        h={
+            "categorical": torch.as_tensor(one_hot.reshape(B * N, 5)),
+            # the reference keeps charges 1-D (normalize broadcasts against
+            # the flat node_mask; the forward reshapes to [BN, 1] at :1010)
+            "integer": torch.as_tensor(charges.reshape(B * N)),
+        },
+    )
+    with torch.no_grad():
+        ref_terms = ref_evd.atom_types_and_coords_forward(batch)
+    (r_dlpx, r_err, r_snr, r_l0x, r_l0h, r_nlc, r_kl, r_lpn, r_tint) = [
+        t.numpy() for t in ref_terms
+    ]
+
+    terms = our_evd.apply(
+        params, jnp.asarray(x), jnp.asarray(one_hot), jnp.asarray(charges),
+        jnp.asarray(node_mask, jnp.float64), jax.random.PRNGKey(0),
+        training=training,
+    )
+    get = lambda k: np.asarray(terms[k])
+
+    assert np.array_equal(get("t_int"), r_tint)
+    assert np.allclose(get("delta_log_px"), r_dlpx, rtol=1e-12, atol=1e-12)
+    # exp() of the f32 gamma-table entries leaves ~1e-6 relative noise
+    assert np.allclose(get("SNR_weight"), r_snr, rtol=5e-5, atol=1e-12)
+    assert np.allclose(get("neg_log_constants"), r_nlc, rtol=1e-6, atol=1e-12)
+    assert np.allclose(get("kl_prior"), r_kl, rtol=1e-5, atol=1e-6)
+    # noise-dependent terms ride the network forward: identical injected eps
+    # makes them match to f64-forward precision modulo the f32 gamma table
+    assert np.allclose(get("error_t"), r_err, rtol=1e-5, atol=1e-8), (
+        get("error_t"), r_err
+    )
+    assert np.allclose(get("loss_0_x"), r_l0x, rtol=1e-5, atol=1e-8)
+    assert np.allclose(get("loss_0_h"), r_l0h, rtol=1e-5, atol=1e-8)
+
+    # log_pN: our NumNodesDistribution table vs the reference module
+    from bio_diffusion_tpu.models.distributions import NumNodesDistribution
+
+    ours_lpn = NumNodesDistribution({3: 2, 4: 5, 5: 10}).log_prob(num_nodes)
+    assert np.allclose(ours_lpn, r_lpn, rtol=1e-6)
+
+
+def test_reverse_step_and_decode_parity(ref, x64, evd_pair, monkeypatch):
+    """One ancestral reverse step AND the final decode match the executed
+    reference with identical injected noise (variational_diffusion.py:
+    1204-1278 and :840-907)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from reference_shims import make_batch
+
+    ref_evd, our_evd, params, (node_mask, num_nodes, rng) = evd_pair
+    ref_evd.eval()
+    B, N = node_mask.shape
+    T = 1000
+
+    # a z_t-like state: CoM-free x part
+    z = _masked_noise(rng, node_mask)
+    s_arr = np.array([[0.399], [0.250], [0.731]])
+    t_arr = s_arr + 1.0 / T
+
+    eps_fix = [_masked_noise(rng, node_mask)]
+    _patch_noise(monkeypatch, ref_evd, eps_fix + eps_fix)
+
+    bidx = torch.as_tensor(np.repeat(np.arange(B), N), dtype=torch.long)
+    mask_flat = torch.as_tensor(node_mask.reshape(-1))
+    with torch.no_grad():
+        ref_zs = ref_evd.sample_p_zs_given_zt(
+            s=torch.as_tensor(s_arr), t=torch.as_tensor(t_arr),
+            z=torch.as_tensor(z.reshape(B * N, 9)),
+            batch_index=bidx, node_mask=mask_flat,
+        ).numpy().reshape(B, N, 9)
+
+    our_zs = np.asarray(our_evd.apply(
+        params, jnp.asarray(s_arr), jnp.asarray(t_arr), jnp.asarray(z),
+        jnp.asarray(node_mask, jnp.float64), jax.random.PRNGKey(0),
+        method=our_evd.sample_p_zs_given_zt,
+    ))
+    real = node_mask.astype(bool)
+    # the posterior mu divides by alpha_t|s and sigma_t built from the f32
+    # gamma table (~1e-7 relative), leaving ~1e-6 absolute on O(1) z values
+    assert np.abs(our_zs[real] - ref_zs[real]).max() < 5e-6, (
+        np.abs(our_zs[real] - ref_zs[real]).max()
+    )
+
+    # ---- final decode: x continuous, h argmax'd/rounded ----------------------
+    z0 = _masked_noise(rng, node_mask) * 0.3
+    eps_fix2 = [_masked_noise(rng, node_mask)]
+    _patch_noise(monkeypatch, ref_evd, eps_fix2 + eps_fix2)
+    with torch.no_grad():
+        ref_x, ref_h = ref_evd.sample_p_xh_given_z0(
+            z_0=torch.as_tensor(z0.reshape(B * N, 9)),
+            batch_index=bidx, node_mask=mask_flat, batch_size=B,
+        )
+    ref_x = ref_x.numpy().reshape(B, N, 3)
+    ref_oh = ref_h["categorical"].numpy().reshape(B, N, 5)
+    ref_ch = ref_h["integer"].numpy().reshape(B, N, 1)
+
+    our_x, our_oh, our_ch = our_evd.apply(
+        params, jnp.asarray(z0), jnp.asarray(node_mask, jnp.float64),
+        jax.random.PRNGKey(0), method=our_evd.sample_p_xh_given_z0,
+    )
+    assert np.abs(np.asarray(our_x)[real] - ref_x[real]).max() < 1e-6
+    assert np.array_equal(np.asarray(our_oh)[real], ref_oh[real])
+    assert np.array_equal(np.asarray(our_ch)[real], ref_ch[real])
