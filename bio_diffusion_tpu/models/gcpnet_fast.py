@@ -364,7 +364,7 @@ def message_layer_reference(s_node: Array, v_node: Array, epack: Array,
 
 @functools.lru_cache(maxsize=None)
 def make_message_layer_fn(ve_dim: int, use_pallas: bool, interpret: bool = False,
-                          kernel_bwd: bool = True):
+                          kernel_bwd: bool = True, mesh=None):
     """(s_node, v_node, epack, g1, chain) -> (s_agg, v_agg), differentiable.
 
     With ``use_pallas``: Pallas mega-kernel forward + custom VJP.  The
@@ -375,6 +375,13 @@ def make_message_layer_fn(ve_dim: int, use_pallas: bool, interpret: bool = False
     through :func:`message_layer_reference` (recompute — the custom VJP is
     its own remat either way).  Without ``use_pallas``: the jnp reference
     directly.
+
+    With ``mesh``: the kernel (pallas_call cannot be GSPMD-partitioned) is
+    wrapped in ``jax.shard_map`` over the mesh's 'data' axis — each shard
+    runs the kernel on its local batch rows; the replicated weight pytrees
+    (in_spec P()) get their cotangents psum-reduced by the shard_map
+    transpose, which IS the DP gradient all-reduce.  Multi-chip training
+    keeps the Pallas path (VERDICT r2 #5).
     """
     ref = functools.partial(message_layer_reference, ve_dim=ve_dim)
     if not use_pallas:
@@ -405,7 +412,18 @@ def make_message_layer_fn(ve_dim: int, use_pallas: bool, interpret: bool = False
         return vjp(cotangents)
 
     layer.defvjp(fwd, bwd)
-    return layer
+    if mesh is None:
+        return layer
+
+    from jax.sharding import PartitionSpec as P
+
+    return jax.shard_map(
+        layer,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P(), P()),
+        out_specs=(P("data"), P("data")),
+        check_vma=False,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -776,11 +794,13 @@ def fast_forward_trainable(
     compute_dtype: Optional[str],
     use_pallas: bool,
     interpret: bool = False,
+    mesh=None,
 ) -> Array:
     """Packed-layout forward taking the weight tree as an ARGUMENT
     (differentiable end to end).  Kernel packing is jnp (grads flow through);
     the message layer runs the Pallas mega-kernel under a custom VJP (or the
-    jnp reference when ``use_pallas`` is False)."""
+    jnp reference when ``use_pallas`` is False).  ``mesh`` shard_maps the
+    kernel over the 'data' axis (see make_message_layer_fn)."""
     mc, mod, dc, dl = model_cfg, module_cfg, diffusion_cfg, dataloader_cfg
     cdt = jnp.dtype(compute_dtype) if compute_dtype else jnp.float32
     nx = dl.num_x_dims
@@ -805,7 +825,7 @@ def fast_forward_trainable(
     epack = _build_epack(
         e_emb, xi_emb, f["frames_flat"], f["edge_mask"], b, n, mc.xi_hidden_dim, cdt
     )
-    layer_fn = make_message_layer_fn(mc.xi_hidden_dim, use_pallas, interpret)
+    layer_fn = make_message_layer_fn(mc.xi_hidden_dim, use_pallas, interpret, mesh=mesh)
 
     x = f["x_cent"]
     s_node, v_node = h_emb, chi_emb
@@ -855,6 +875,9 @@ class FastGCPNetDynamics(nn.Module):
     compute_dtype: Optional[str] = None
     use_pallas: bool = True
     interpret: bool = False
+    # a jax.sharding.Mesh: shard_map the Pallas message layer over its 'data'
+    # axis so multi-chip DP training keeps the kernel path (None = no mesh)
+    mesh: Optional[Any] = None
 
     @property
     def num_x_dims(self) -> int:
@@ -899,5 +922,5 @@ class FastGCPNetDynamics(nn.Module):
             layer_cfg=self.layer_cfg, diffusion_cfg=self.diffusion_cfg,
             dataloader_cfg=self.dataloader_cfg,
             compute_dtype=self.compute_dtype, use_pallas=self.use_pallas,
-            interpret=self.interpret,
+            interpret=self.interpret, mesh=self.mesh,
         )

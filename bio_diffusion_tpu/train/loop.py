@@ -102,13 +102,18 @@ class Trainer:
             )
             if supported:
                 single = mesh is None or int(np.prod(list(mesh.shape.values()))) == 1
+                data_only = (not single) and mesh.shape.get("model", 1) == 1
                 on_tpu = jax.devices()[0].platform == "tpu"
                 # auto on a single TPU chip: Pallas fwd + handwritten Pallas
                 # bwd kernel (47.5 vs 51.0 ms/step packed-XLA on v5e B=64
-                # QM9, with remat-level memory).  Under a mesh or off-TPU:
-                # packed XLA (GSPMD-partitionable).
+                # QM9, with remat-level memory).  On a DATA-ONLY mesh the
+                # kernel runs per-shard under jax.shard_map (the 47.5 ms
+                # path survives multi-chip DP); with model sharding or
+                # off-TPU: packed XLA (GSPMD-partitionable).
                 use_pallas = (
-                    exp.trainer.fast_train in ("auto", "pallas") and on_tpu and single
+                    exp.trainer.fast_train in ("auto", "pallas")
+                    and on_tpu
+                    and (single or data_only)
                 )
                 self.evd_train = self.evd.clone(
                     dynamics=FastGCPNetDynamics(
@@ -116,11 +121,13 @@ class Trainer:
                         dyn.diffusion_cfg, dyn.dataloader_cfg,
                         compute_dtype=dyn.compute_dtype,
                         use_pallas=use_pallas,
+                        mesh=mesh if (use_pallas and not single) else None,
                     )
                 )
                 log.info(
                     "fast train path: packed-layout dynamics "
-                    f"(pallas={'on' if use_pallas else 'off'})"
+                    f"(pallas={'on' if use_pallas else 'off'}"
+                    f"{', shard_map' if use_pallas and not single else ''})"
                 )
             elif exp.trainer.fast_train in ("on", "pallas"):
                 raise ValueError(f"trainer.fast_train={exp.trainer.fast_train} but "

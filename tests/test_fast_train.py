@@ -260,3 +260,56 @@ def test_full_grad_parity_pallas_bwd_interpret(setup):
             np.asarray(gp), np.asarray(gm), rtol=2e-3, atol=2e-5,
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
         )
+
+
+def test_shard_map_pallas_matches_packed_xla_under_mesh():
+    """VERDICT r2 #5: the Pallas message layer runs per-shard under
+    jax.shard_map on a data-only mesh (kernel in interpret mode on the
+    virtual CPU mesh) and the loss AND parameter gradients match the
+    GSPMD packed-XLA path."""
+    from bio_diffusion_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    mc, mod, lcfg, dc, dl = _cfgs()
+    mesh = make_mesh(data=8, model=1)
+
+    module = GCPNetDynamics(mc, mod, lcfg, dc, dl, remat_interactions=False)
+    b, n, f = 8, 6, 6
+    key = jax.random.PRNGKey(3)
+    sizes = jnp.array([4, 6, 5, 3, 6, 4, 5, 6])[:, None]
+    node_mask = (jnp.arange(n)[None, :] < sizes).astype(jnp.float32)
+    xh = jax.random.normal(key, (b, n, 3 + f)) * node_mask[..., None]
+    _, x = centralize(xh[..., :3], node_mask)
+    xh = jnp.concatenate([x, xh[..., 3:]], -1)
+    t = jax.random.uniform(jax.random.PRNGKey(4), (b, 1))
+    params = module.init(jax.random.PRNGKey(1), xh, t, node_mask)
+
+    fast_xla = FastGCPNetDynamics(mc, mod, lcfg, dc, dl, use_pallas=False)
+    fast_sm = FastGCPNetDynamics(
+        mc, mod, lcfg, dc, dl, use_pallas=True, interpret=True, mesh=mesh,
+    )
+
+    bs = batch_sharding(mesh)
+    xh_s = jax.device_put(xh, bs)
+    t_s = jax.device_put(t, bs)
+    mask_s = jax.device_put(node_mask, bs)
+
+    def loss(p, net, *args):
+        return jnp.sum(net.apply(p, *args) ** 2)
+
+    l_xla, g_xla = jax.jit(
+        lambda p: jax.value_and_grad(loss)(p, fast_xla, xh_s, t_s, mask_s)
+    )(params)
+    l_sm, g_sm = jax.jit(
+        lambda p: jax.value_and_grad(loss)(p, fast_sm, xh_s, t_s, mask_s)
+    )(params)
+
+    np.testing.assert_allclose(float(l_sm), float(l_xla), rtol=1e-5)
+    flat_xla = jax.tree_util.tree_leaves_with_path(g_xla)
+    flat_sm = {jax.tree_util.keystr(k): v
+               for k, v in jax.tree_util.tree_leaves_with_path(g_sm)}
+    for path, gx in flat_xla:
+        gs = flat_sm[jax.tree_util.keystr(path)]
+        np.testing.assert_allclose(
+            np.asarray(gs), np.asarray(gx), rtol=5e-4, atol=5e-5,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )
