@@ -200,10 +200,13 @@ class TrainerConfig:
     early_stopping_mode: str = "min"  # [min, max]
     early_stopping_check_finite: bool = True
     # debug presets (reference configs/debug/*): batch limits are a fraction
-    # (<1.0) or an absolute count (>=1); overfit repeats the same first-k
-    # train batches every epoch; fast_dev_run = 1 train + 1 val batch, one
-    # epoch, no checkpoints; detect_anomaly compiles checkify invariants in
-    # (same switch as diffusion_cfg.debug_invariants)
+    # (<1.0) or an absolute count (>=1).  The RAW config value's type
+    # disambiguates the Lightning int-1 case: int ``1`` caps at one batch,
+    # float ``1.0`` means the full split (train/loop.py _limited reads the
+    # raw value; this coerced field cannot carry the distinction).  overfit
+    # repeats the same first-k train batches every epoch; fast_dev_run =
+    # 1 train + 1 val batch, one epoch, no checkpoints; detect_anomaly
+    # compiles checkify invariants in (same switch as debug_invariants)
     limit_train_batches: float = 1.0
     limit_val_batches: float = 1.0
     limit_test_batches: float = 1.0

@@ -182,18 +182,35 @@ def sample_molecules(
     num_timesteps: Optional[int] = None,
     props_distr=None,
     context_fn=None,
+    bucket_sizes: Optional[Sequence[int]] = None,
+    pad_to_multiple: int = 4,
+    sort_sizes: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Sample molecules in batches -> (xh [M, N, .], node_mask [M, N], num_nodes [M]).
 
-    pad_to defaults to the max sampled size (one bucket; pass explicitly to
-    pin the compile shape across calls).
-    """
+    By default all molecule sizes are drawn up front, sorted descending, and
+    each batch is padded only to its own bucket (max size rounded up to
+    ``pad_to_multiple``, or the ``bucket_sizes`` ladder) — the eval protocol
+    stops paying max_n^2 edge work for mostly-small molecules while XLA
+    caches one executable per bucket.  Pass ``pad_to`` to pin a single
+    compile shape instead (exact reference padding behavior,
+    qm9_mol_gen_ddpm.py:778-829 pads everything to dataset max)."""
+    from bio_diffusion_tpu.data.batch import select_bucket
+
+    sizes_all = nodes_dist.sample(num_samples, rng)
+    if pad_to is None and sort_sizes:
+        sizes_all = np.sort(sizes_all)[::-1]
+
     xs, masks, sizes = [], [], []
-    remaining = num_samples
-    while remaining > 0:
-        b = min(batch_size, remaining)
-        num_nodes = nodes_dist.sample(b, rng)
-        n_pad = pad_to if pad_to is not None else int(nodes_dist.max_n)
+    for start in range(0, num_samples, batch_size):
+        num_nodes = sizes_all[start: start + batch_size]
+        b = len(num_nodes)
+        if pad_to is not None:
+            n_pad = pad_to
+        else:
+            n_pad = select_bucket(int(num_nodes.max()), bucket_sizes, pad_to_multiple)
+            # never exceed the dataset maximum through round-up alone
+            n_pad = min(n_pad, max(int(nodes_dist.max_n), int(num_nodes.max())))
         node_mask = jnp.asarray(make_node_mask(num_nodes, n_pad))
         context = None
         if props_distr is not None:
@@ -209,8 +226,17 @@ def sample_molecules(
         xs.append(xh)
         masks.append(np.asarray(node_mask))
         sizes.append(num_nodes)
-        remaining -= b
-    return np.concatenate(xs), np.concatenate(masks), np.concatenate(sizes)
+
+    n_max = max(x.shape[1] for x in xs)
+
+    def pad_n(a):
+        return np.pad(a, [(0, 0), (0, n_max - a.shape[1])] + [(0, 0)] * (a.ndim - 2))
+
+    return (
+        np.concatenate([pad_n(x) for x in xs]),
+        np.concatenate([pad_n(m) for m in masks]),
+        np.concatenate(sizes),
+    )
 
 
 def analyze_samples(

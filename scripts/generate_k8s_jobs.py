@@ -82,6 +82,8 @@ def main(argv=None):
         job_tmpl = f.read()
     with open(os.path.join(TEMPLATE_DIR, "persistent_storage_template.yaml")) as f:
         pvc_tmpl = f.read()
+    with open(os.path.join(TEMPLATE_DIR, "headless_service_template.yaml")) as f:
+        svc_tmpl = f.read()
 
     runs = []
     if manifest_path:
@@ -110,6 +112,14 @@ def main(argv=None):
         with open(path, "w") as f:
             f.write(render(job_tmpl, rsubs))
         paths.append(path)
+        if multihost:
+            # per-pod DNS ($JOB_NAME-0.$JOB_NAME) requires a headless Service
+            # with a matching job-name selector — without it the coordinator
+            # address never resolves and jax.distributed.initialize hangs
+            svc_path = os.path.join(out_dir, f"service_{run_id}.yaml")
+            with open(svc_path, "w") as f:
+                f.write(render(svc_tmpl, rsubs))
+            paths.append(svc_path)
 
     apply_sh = os.path.join(out_dir, "apply_all.sh")
     with open(apply_sh, "w") as f:

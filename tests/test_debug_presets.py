@@ -100,6 +100,16 @@ def test_fraction_limit_val(tmp_path):
     exp = build_experiment(cfg)
     tr = Trainer(exp, str(tmp_path / "run"))
     full = len(list(tr._batch_iter("valid", shuffle=False)))
-    limited = len(list(tr._limited(tr._batch_iter("valid", shuffle=False), 0.3)))
+    limited = len(list(tr._limited(tr._batch_iter("valid", shuffle=False), 0.3, split="valid")))
     assert 1 <= limited < full
     assert limited == max(1, int(full * 0.3))
+
+
+def test_limit_batches_int_one(tmp_path):
+    """Lightning int semantics: limit_train_batches=1 (int) caps at ONE batch
+    per epoch; float 1.0 means the full split (ADVICE r2)."""
+    from bio_diffusion_tpu.cli.train import main
+
+    wd = str(tmp_path / "one")
+    main(TINY + ["trainer.limit_train_batches=1", f"--workdir={wd}", "--max-epochs=1"])
+    assert int(_rows(wd)[0]["step"]) == 1
