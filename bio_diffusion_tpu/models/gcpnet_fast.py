@@ -403,7 +403,11 @@ def make_message_layer_fn(ve_dim: int, use_pallas: bool, interpret: bool = False
     def bwd(residuals, cotangents):
         s_node, v_node, epack, g1, chain = residuals
         n = s_node.shape[1]
-        if kernel_bwd and n * n <= WHOLE_MOL_ROWS:
+        # the bwd kernel covers whole-molecule cells AND the sub-molecule
+        # tiling (n % 8 == 0, guaranteed by _pad_nodes for large n) — the
+        # full GEOM 44-181-atom range trains through it.  AD recompute only
+        # remains for oversize molecules with an illegal node count.
+        if kernel_bwd and (n * n <= WHOLE_MOL_ROWS or n % 8 == 0):
             return fused_message_layer_bwd(
                 s_node, v_node, epack, g1, chain, cotangents,
                 ve_dim=ve_dim, interpret=interpret,

@@ -36,6 +36,7 @@ whose backward is the jnp packed-layout reference
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -477,8 +478,11 @@ def fused_message_layer(
     # grows every MXU dimension without any node-axis padding.
     mols = 1
     if ti == n:
-        budget = max(1, 2048 // (n * n))  # bound cell rows (VMEM)
-        for cand in range(min(b, budget, 8), 0, -1):
+        # bound cell rows (VMEM); env knobs for fusion experiments
+        budget_rows = int(os.environ.get("PALLAS_FUSE_BUDGET_ROWS", 2048))
+        fuse_max = int(os.environ.get("PALLAS_FUSE_MAX", 8))
+        budget = max(1, budget_rows // (n * n))
+        for cand in range(min(b, budget, fuse_max), 0, -1):
             if b % cand == 0:
                 mols = cand
                 break
@@ -540,6 +544,9 @@ def fused_message_layer(
             jax.ShapeDtypeStruct((b // mols, mols * n, v3), v_node.dtype),
         ],
         cost_estimate=cost,
+        # sub-tiled GEOM-scale cells (ti < n, rows ~2300) sit just above the
+        # conservative 16 MiB default scoped-vmem limit on v5e
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(s_node, v_node, epack, *weight_args)
 
@@ -583,20 +590,23 @@ def _message_layer_bwd_kernel(
     dwssc_ref, dbs1_ref, dwu1_ref, dwg1_ref, dbg1_ref,
     dwcomb_ref, dwsc_ref, dbsc_ref, dwubd_ref, dwgc_ref, dbgc_ref,
     dwattn_ref, dbattn_ref,
-    *, n: int, s_dim: int, v_dim: int, ve_dim: int,
+    *, ti: int, n: int, s_dim: int, v_dim: int, ve_dim: int,
     h1: int, hc: int, num_gcps: int, mols: int,
 ):
     f32 = jnp.float32
     dt = s_node_ref.dtype
     se = wse_ref.shape[0]
-    rows = mols * n * n
+    rows = mols * ti * n
     nn = mols * n
     v3 = 3 * v_dim
     h3 = 3 * h1
     hc3 = 3 * hc
     p = ep_ref.shape[-1]
 
-    first = pl.program_id(0) == 0
+    t = pl.program_id(1)
+    first_tile = t == 0
+    first = jnp.logical_and(pl.program_id(0) == 0, first_tile)
+    i0 = pl.multiple_of(t * ti, ti)
 
     @pl.when(first)
     def _init_weight_grads():
@@ -606,19 +616,29 @@ def _message_layer_bwd_kernel(
                     dwattn_ref, dbattn_ref):
             ref[...] = jnp.zeros_like(ref)
 
+    # d_s_node / d_v_node accumulate target-side contributions from EVERY
+    # source tile: zero them on the first tile of each molecule cell
+    @pl.when(first_tile)
+    def _init_node_grads():
+        dsn_ref[...] = jnp.zeros_like(dsn_ref)
+        dvn_ref[...] = jnp.zeros_like(dvn_ref)
+
     s_n = s_node_ref[0]  # [NN, S]
     v_n = v_node_ref[0]  # [NN, 3V]
-    ep = ep_ref[0]  # [ROWS, P]
+    ep = ep_ref[0]  # [ROWS, P] (this tile's edge rows)
     e_feat = ep[:, :se]
     xi = ep[:, se: se + 3 * ve_dim]
     ft = ep[:, se + 3 * ve_dim: se + 3 * ve_dim + 9]
     emask = ep[:, se + 3 * ve_dim + 9: se + 3 * ve_dim + 10].astype(f32)
 
-    # selectors (f32 for grad matmuls)
+    # selectors (f32 for grad matmuls).  Row r of this tile maps to GLOBAL
+    # source node i0 + r // N (sub-molecule tiling; for fused whole-molecule
+    # cells ti == n, i0 == 0 and r // n is the flattened molecule-node index)
+    # and to target node (r // N^2)*N + r % N.
     r_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, nn), 0)
     a_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, nn), 1)
-    R = (r_idx // n == a_idx).astype(f32)
-    tgt = (r_idx // (n * n)) * n + r_idx % n
+    R = (r_idx // n + i0 == a_idx).astype(f32)
+    tgt = (r_idx // (ti * n)) * n + r_idx % n
     T = (tgt == a_idx).astype(f32)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (3, 9), 1)
@@ -837,8 +857,8 @@ def _message_layer_bwd_kernel(
     d_xi = jnp.dot(d_vhd1, wve_ref[...].astype(f32).T, preferred_element_type=f32)
     dwve_ref[...] += jnp.dot(xi.astype(f32).T, d_vhd1, preferred_element_type=f32)
 
-    dsn_ref[0] = d_s_node.astype(dt)
-    dvn_ref[0] = d_v_node.astype(dt)
+    dsn_ref[0] += d_s_node.astype(dsn_ref.dtype)
+    dvn_ref[0] += d_v_node.astype(dvn_ref.dtype)
     pad_w = p - (se + 3 * ve_dim + 9 + 1)
     parts = [d_e, d_xi, d_ft, d_emask]
     if pad_w:
@@ -869,17 +889,31 @@ def fused_message_layer_bwd(
     w_comb, wsc, bsc, wu_bd, wgc, bgc, wattn, battn = chain_w
     hc = (w_comb.shape[2] - 9) // 3
     num_gcps = w_comb.shape[0]
-    assert n * n <= WHOLE_MOL_ROWS, "bwd kernel covers whole-molecule cells only"
+
+    # source-tile size: whole molecule when it fits, else the forward's
+    # sub-molecule tiling (n % 8 == 0, guaranteed by _pad_nodes) — the
+    # GEOM 44-181-atom range trains through the kernel, not the AD fallback
+    if n * n <= WHOLE_MOL_ROWS:
+        ti = n
+    else:
+        ti = max(8, (WHOLE_MOL_ROWS // n) // 8 * 8)
+        while n % ti != 0 and ti > 8:
+            ti -= 8
+        assert n % ti == 0, (
+            f"N={n} has no legal bwd tile; pad N to a multiple of 8"
+        )
 
     # smaller fusion than fwd: the bwd kernel keeps stage states + f32
     # transients in VMEM (~24 MB at 841 rows), so bound cell rows by the
-    # raised 100 MiB scoped-vmem limit
+    # raised 100 MiB scoped-vmem limit.  Fusion applies to whole-molecule
+    # cells only (ti == n).
     mols = 1
-    budget = max(1, 2048 // (n * n))
-    for cand in range(min(b, budget, 8), 0, -1):
-        if b % cand == 0:
-            mols = cand
-            break
+    if ti == n:
+        budget = max(1, int(os.environ.get("PALLAS_FUSE_BUDGET_ROWS", 2048)) // (n * n))
+        for cand in range(min(b, budget, int(os.environ.get("PALLAS_FUSE_MAX", 8))), 0, -1):
+            if b % cand == 0:
+                mols = cand
+                break
 
     ds_agg, dv_agg = cotangents
     if mols > 1:
@@ -892,23 +926,23 @@ def fused_message_layer_bwd(
         s_node_r, v_node_r, epack_r = s_node, v_node, epack
         ds_agg_r, dv_agg_r = ds_agg, dv_agg
 
-    grid = (b // mols,)
+    grid = (b // mols, n // ti)
     dt = s_node.dtype
 
     def nspec(width):
-        return pl.BlockSpec((1, mols * n, width), lambda bb: (bb, 0, 0),
+        return pl.BlockSpec((1, mols * n, width), lambda bb, tt: (bb, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def espec():
-        return pl.BlockSpec((1, mols * n * n, p), lambda bb: (bb, 0, 0),
+        return pl.BlockSpec((1, mols * ti * n, p), lambda bb, tt: (bb, tt, 0),
                             memory_space=pltpu.VMEM)
 
     def full_spec(arr):
-        return pl.BlockSpec(arr.shape, lambda bb: tuple(0 for _ in arr.shape),
+        return pl.BlockSpec(arr.shape, lambda bb, tt: tuple(0 for _ in arr.shape),
                             memory_space=pltpu.VMEM)
 
     def acc_spec(shape):
-        return pl.BlockSpec(shape, lambda bb: tuple(0 for _ in shape),
+        return pl.BlockSpec(shape, lambda bb, tt: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
 
     g1 = gcp1_w
@@ -931,14 +965,15 @@ def fused_message_layer_bwd(
 
     kernel = functools.partial(
         _message_layer_bwd_kernel,
-        n=n, s_dim=s_dim, v_dim=v_dim, ve_dim=ve_dim,
+        ti=ti, n=n, s_dim=s_dim, v_dim=v_dim, ve_dim=ve_dim,
         h1=h1, hc=hc, num_gcps=num_gcps, mols=mols,
     )
 
+    # node grads accumulate across source tiles -> keep them f32
     out_shape = (
         [
-            jax.ShapeDtypeStruct(s_node_r.shape, dt),
-            jax.ShapeDtypeStruct(v_node_r.shape, dt),
+            jax.ShapeDtypeStruct(s_node_r.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v_node_r.shape, jnp.float32),
             jax.ShapeDtypeStruct(epack_r.shape, dt),
         ]
         + [jax.ShapeDtypeStruct(s, jnp.float32) for s in wg_shapes]
@@ -961,7 +996,7 @@ def fused_message_layer_bwd(
         interpret=interpret,
     )(s_node_r, v_node_r, epack_r, ds_agg_r, dv_agg_r, *weight_args)
 
-    d_sn, d_vn, d_ep = outs[0], outs[1], outs[2]
+    d_sn, d_vn, d_ep = outs[0].astype(dt), outs[1].astype(dt), outs[2]
     (d_wvi, d_wvj, d_wve, d_wsi, d_wse, d_wsj, d_wsvn, d_wssc, d_bs1,
      d_wu1, d_wg1, d_bg1, d_wcomb, d_wsc, d_bsc, d_wubd, d_wgc, d_bgc,
      d_wattn, d_battn) = outs[3:]

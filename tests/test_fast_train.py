@@ -313,3 +313,35 @@ def test_shard_map_pallas_matches_packed_xla_under_mesh():
             np.asarray(gs), np.asarray(gx), rtol=5e-4, atol=5e-5,
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
         )
+
+
+def test_pallas_bwd_kernel_subtiled_large_molecules(key):
+    """VERDICT r2 #6: the handwritten backward kernel covers GEOM-scale
+    molecules via sub-molecule source tiling.  N=60 (padded to 64 inside the
+    fast path; 64^2 = 4096 edge rows > WHOLE_MOL_ROWS) — full parameter
+    gradients through Pallas fwd+bwd (interpret) match the packed-XLA path."""
+    mc, mod, lcfg, dc, dl = _cfgs(num_layers=1)
+    module = GCPNetDynamics(mc, mod, lcfg, dc, dl, remat_interactions=False)
+    b, n = 2, 60
+    sizes = jnp.array([[55], [60]])
+    node_mask = (jnp.arange(n)[None, :] < sizes).astype(jnp.float32)
+    xh = jax.random.normal(key, (b, n, 9)) * node_mask[..., None]
+    _, x = centralize(xh[..., :3], node_mask)
+    xh = jnp.concatenate([x, xh[..., 3:]], -1)
+    t = jax.random.uniform(jax.random.PRNGKey(8), (b, 1))
+    params = module.init(jax.random.PRNGKey(9), xh, t, node_mask)
+
+    fast_xla = FastGCPNetDynamics(mc, mod, lcfg, dc, dl, use_pallas=False)
+    fast_pl = FastGCPNetDynamics(mc, mod, lcfg, dc, dl, use_pallas=True, interpret=True)
+
+    def loss(p, net):
+        return jnp.sum(net.apply(p, xh, t, node_mask) ** 2)
+
+    g_xla = jax.grad(lambda p: loss(p, fast_xla))(params)
+    g_pl = jax.grad(lambda p: loss(p, fast_pl))(params)
+    for (path, gx), gp in zip(jax.tree_util.tree_leaves_with_path(g_xla),
+                              jax.tree.leaves(g_pl)):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gx), rtol=2e-3, atol=2e-4,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )
