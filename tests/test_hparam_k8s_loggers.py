@@ -173,7 +173,12 @@ def test_k8s_from_grid_manifest_multihost(tmp_path):
         "--manifest", mpath, "--out-dir", out,
         "--num-hosts", "4", "--chips-per-host", "4", "--topology", "4x4",
     ])
-    assert len(paths) == 3
+    # PVC + 2x(Job + headless Service): multi-host jobs need per-pod DNS
+    assert len(paths) == 5
+    svc = yaml.safe_load(open(os.path.join(out, "service_run_0000.yaml")))
+    assert svc["kind"] == "Service" and svc["spec"]["clusterIP"] == "None"
+    assert svc["spec"]["selector"]["job-name"] == svc["metadata"]["name"]
+    assert svc["spec"]["ports"][0]["port"] == 8476
     job = yaml.safe_load(open(os.path.join(out, "job_run_0000.yaml")))
     spec = job["spec"]
     assert spec["completions"] == 4 and spec["parallelism"] == 4
