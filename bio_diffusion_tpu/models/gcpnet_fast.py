@@ -141,6 +141,14 @@ def _bd3_batched(m: Array) -> Array:
     return jnp.einsum("kl,gij->gkilj", eye, m).reshape(g, 3 * a, 3 * b)
 
 
+def _rep3_jnp(dtype):
+    """[3, 9] repeat selector rep3[c, c*3+a] = 1 — folded into packed vdf
+    weights so the kernels' scalarize is elementwise (no selector matmuls)."""
+    col = jnp.arange(9)[None, :]
+    row = jnp.arange(3)[:, None]
+    return (col // 3 == row).astype(dtype)
+
+
 def _gcp2_edge_wide(w: Dict[str, Any], s_e: Array, v_cm: Array, frames_t_flat: Array,
                     gate_act: Optional[str] = "silu") -> Tuple[Array, Array]:
     """Edge-input GCP2 evaluated on WIDE flat tensors only.
@@ -241,18 +249,26 @@ def pack_gcp1_weights_jnp(w1: Dict[str, Any], s_dim: int, v_dim: int, ve_dim: in
 
     h = wd.shape[1]
     wd_i, wd_e, wd_j = wd[:v_dim], wd[v_dim:v_dim + ve_dim], wd[v_dim + ve_dim:]
-    wdf_i, wdf_e, wdf_j = wdf[:v_dim], wdf[v_dim:v_dim + ve_dim], wdf[v_dim + ve_dim:]
+    # rep3 folded into the vdf blocks (see kernel pack_gcp1_weights):
+    # [., 3] -> [., 9] so the kernel scalarize is VPU-elementwise only
+    rep = _rep3_jnp(dtype)
+    wdf_i, wdf_e, wdf_j = (
+        wdf[:v_dim] @ rep, wdf[v_dim:v_dim + ve_dim] @ rep, wdf[v_dim + ve_dim:] @ rep,
+    )
     se_dim = ws.shape[0] - 2 * s_dim - h - 9
 
     return {
         "wvi": jnp.concatenate([_bd3(wd_i), _bd3(wdf_i)], axis=1),
         "wvj": jnp.concatenate([_bd3(wd_j), _bd3(wdf_j)], axis=1),
-        "wve": jnp.concatenate([_bd3(wd_e), _bd3(wdf_e)], axis=1),  # [3Ve, 3H+9]
+        "wve": jnp.concatenate([_bd3(wd_e), _bd3(wdf_e)], axis=1),  # [3Ve, 3H+27]
         "wsi": ws[:s_dim],
-        "wse": ws[s_dim: s_dim + se_dim],
         "wsj": ws[s_dim + se_dim: 2 * s_dim + se_dim],
-        "wsvn": ws[2 * s_dim + se_dim: 2 * s_dim + se_dim + h],
-        "wssc": ws[2 * s_dim + se_dim + h:],
+        # fused [Se+H+9, S] matmul for the edge-local s2 terms
+        "wsx": jnp.concatenate([
+            ws[s_dim: s_dim + se_dim],                         # wse
+            ws[2 * s_dim + se_dim: 2 * s_dim + se_dim + h],    # wsvn
+            ws[2 * s_dim + se_dim + h:],                       # wssc
+        ], axis=0),
         "bs": bs,
         "wu_bd": _bd3(wu),  # [3H, 3Vout]
         "wg": wg,
@@ -265,7 +281,10 @@ def pack_chain_weights_jnp(mp: Dict[str, Any], num_message_layers: int, dtype) -
     wd, wdf, ws, bs, wu, wg, bg, wattn, battn = _stack_chain_weights(
         mp, num_message_layers, dtype
     )
-    w_comb = jnp.concatenate([_bd3_batched(wd), _bd3_batched(wdf)], axis=2)  # [G,3V,3H+9]
+    wdf_rep = wdf @ _rep3_jnp(dtype)  # rep3 folded: [G, V, 3] -> [G, V, 9]
+    w_comb = jnp.concatenate(
+        [_bd3_batched(wd), _bd3_batched(wdf_rep)], axis=2
+    )  # [G, 3V, 3H+27]
     wu_bd = _bd3_batched(wu)  # [G, 3H, 3V]
     return (w_comb, ws, bs, wu_bd, wg, bg, wattn, battn)
 
@@ -287,8 +306,8 @@ def message_layer_reference(s_node: Array, v_node: Array, epack: Array,
     b, n, s_dim = s_node.shape
     v3 = v_node.shape[-1]
     dt = s_node.dtype
-    se = g1["wse"].shape[0]
     h1 = g1["wu_bd"].shape[0] // 3
+    se = g1["wsx"].shape[0] - h1 - 9
     h3 = 3 * h1
 
     ep = epack.reshape(b, n, n, epack.shape[-1])
@@ -297,20 +316,17 @@ def message_layer_reference(s_node: Array, v_node: Array, epack: Array,
     ft = ep[..., se + 3 * ve_dim: se + 3 * ve_dim + 9]
     emask = ep[..., se + 3 * ve_dim + 9: se + 3 * ve_dim + 10]
 
-    # wide selector-matmul scalarize (identical to the kernel's rep3/tile3
-    # construction): keeps every tensor 2D-wide so XLA's AD transposes stay
-    # wide too — no narrow [.., 3, 3] tiles in fwd OR bwd HBM traffic
-    col = jnp.arange(9)[None, :]
-    row = jnp.arange(3)[:, None]
-    rep3 = (col // 3 == row).astype(dt)
-    tile3 = (col % 3 == row).astype(dt)
+    # lane-tiled frame factors (the rep3 expansion of vdf is folded into
+    # the packed weights, so the scalarize is pure elementwise — no selector
+    # matmuls in fwd OR in XLA's AD transpose)
     ftiles = [
-        (ft[..., 3 * k: 3 * (k + 1)].astype(dt) @ tile3) for k in range(3)
+        jnp.concatenate([ft[..., 3 * k: 3 * (k + 1)].astype(dt)] * 3, axis=-1)
+        for k in range(3)
     ]
 
-    def scalarize(vdf_cols):  # [..., 9] laid out k*3+c -> [..., 9] c*3+a
+    def scalarize(vdfrep_cols):  # [..., 27] (9 c-major cols per coordinate)
         return sum(
-            (vdf_cols[..., 3 * k: 3 * (k + 1)] @ rep3) * ftiles[k] for k in range(3)
+            vdfrep_cols[..., 9 * k: 9 * (k + 1)] * ftiles[k] for k in range(3)
         )
 
     # ---- GCP1 over the virtual concat (node_i | edge | node_j) ----
@@ -318,16 +334,16 @@ def message_layer_reference(s_node: Array, v_node: Array, epack: Array,
         (v_node @ g1["wvi"])[:, :, None]
         + (v_node @ g1["wvj"])[:, None, :]
         + xi @ g1["wve"]
-    )  # [B,N,N,3H1+9]
+    )  # [B,N,N,3H1+27]
     vh_sq = sum(vhd[..., k * h1:(k + 1) * h1] ** 2 for k in range(3))
     vnorm = _safe_norm_last(vh_sq)
     schid = scalarize(vhd[..., h3:])
+    # edge-local s2 terms as one fused matmul (wsx = [wse; wsvn; wssc])
+    cat1 = jnp.concatenate([e_feat, vnorm.astype(dt), schid.astype(dt)], axis=-1)
     s2 = (
         (s_node @ g1["wsi"])[:, :, None]
         + (s_node @ g1["wsj"])[:, None, :]
-        + e_feat @ g1["wse"]
-        + vnorm.astype(dt) @ g1["wsvn"]
-        + schid.astype(dt) @ g1["wssc"]
+        + cat1 @ g1["wsx"]
         + g1["bs"]
     )
     silu1 = jax.nn.silu(s2)
@@ -339,7 +355,7 @@ def message_layer_reference(s_node: Array, v_node: Array, epack: Array,
     # ---- residual chain of secondary GCPs ----
     w_comb, wsc, bsc, wu_bd, wgc, bgc, wattn, battn = chain
     num_gcps = w_comb.shape[0]
-    hc = (w_comb.shape[2] - 9) // 3
+    hc = (w_comb.shape[2] - 27) // 3
     hc3 = 3 * hc
     for g in range(num_gcps):
         vhd_g = v @ w_comb[g]

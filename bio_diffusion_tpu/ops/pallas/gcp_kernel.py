@@ -51,23 +51,38 @@ DEFAULT_BLOCK = 1024
 WHOLE_MOL_ROWS = 2600
 
 
+def _rep3_np(dtype=np.float32):
+    """[3, 9] repeat selector: rep3[c, c*3+a] = 1 (c-major expansion)."""
+    col = np.arange(9)[None, :]
+    row = np.arange(3)[:, None]
+    return (col // 3 == row).astype(dtype)
+
+
 def pack_chain_weights(wd, wdf, wu):
     """Pack per-GCP weights into block-diagonal combined matrices.
 
-    Returns (w_comb [G, 3V, 3H+9], wu_bd [G, 3H, 3V]) such that
-      v_cm @ w_comb = [vh_x | vh_y | vh_z | vdf_x | vdf_y | vdf_z]
+    Returns (w_comb [G, 3V, 3H+27], wu_bd [G, 3H, 3V]) such that
+      v_cm @ w_comb = [vh_x | vh_y | vh_z | vdfrep_x | vdfrep_y | vdfrep_z]
       vh_cm @ wu_bd = coords-major vector update
     — turning the per-coordinate small matmuls into single large ones.
+
+    The vdf blocks carry the rep3 expansion FOLDED INTO THE WEIGHTS
+    (wdf @ rep3, 9 columns per coordinate: column c*3+a holds vdf channel c
+    for every frame axis a), so the kernel's scalarize is a pure VPU
+    elementwise multiply against lane-tiled frames — no selector matmuls
+    spend MXU tiles on 3->9 repeats.  The extra 18 columns ride inside the
+    same 128-lane tile (3H+27 = 51 at the trained H = 8).
     """
     g, v_dim, h_dim = wd.shape
-    w_comb = np.zeros((g, 3 * v_dim, 3 * h_dim + 9), dtype=np.float32)
+    w_comb = np.zeros((g, 3 * v_dim, 3 * h_dim + 27), dtype=np.float32)
     wu_bd = np.zeros((g, 3 * h_dim, 3 * v_dim), dtype=np.float32)
     wd_np = np.asarray(wd, np.float32)
-    wdf_np = np.asarray(wdf, np.float32)
+    wdf_rep = np.asarray(wdf, np.float32) @ _rep3_np()  # [G, V, 9]
     wu_np = np.asarray(wu, np.float32)
+    h3 = 3 * h_dim
     for k in range(3):
         w_comb[:, k * v_dim:(k + 1) * v_dim, k * h_dim:(k + 1) * h_dim] = wd_np
-        w_comb[:, k * v_dim:(k + 1) * v_dim, 3 * h_dim + 3 * k: 3 * h_dim + 3 * (k + 1)] = wdf_np
+        w_comb[:, k * v_dim:(k + 1) * v_dim, h3 + 9 * k: h3 + 9 * (k + 1)] = wdf_rep
         wu_bd[:, k * h_dim:(k + 1) * h_dim, k * v_dim:(k + 1) * v_dim] = wu_np
     return w_comb, wu_bd
 
@@ -85,13 +100,14 @@ def _gcp2_chain_kernel(
     f32 = jnp.float32
     h3 = 3 * hidden_dim
 
-    # selector matmul instead of repeat (Mosaic can't shape-cast jnp.repeat):
-    #   x[B,3] @ REP3[3,9] repeats each of 3 columns 3x (c-major)
+    # tiled frame factors T_k[:, c*3+a] = frames[a, k], via a tile3 selector
+    # matmul (3 tiny MXU ops per block, computed once and reused by every
+    # chain stage — measured faster than a Mosaic lane-concat).  The matching
+    # rep3 expansion of vdf is folded into w_comb's weights
+    # (pack_chain_weights), so the per-stage scalarize is pure VPU.
     col = jax.lax.broadcasted_iota(jnp.int32, (3, 9), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (3, 9), 0)
-    rep3 = (col // 3 == row).astype(f32)
     tile3 = (col % 3 == row).astype(f32)
-    # tiled frame factors: T_k[:, c*3+a] = frames[a, k]
     frame_tiles = [
         jnp.dot(frames_t[:, 3 * k: 3 * (k + 1)].astype(f32), tile3,
                 preferred_element_type=f32)
@@ -99,8 +115,8 @@ def _gcp2_chain_kernel(
     ]
 
     for g in range(num_gcps):
-        # one combined matmul: [vh_x|vh_y|vh_z|vdf_x|vdf_y|vdf_z]
-        vhd = jnp.dot(v, wcomb_ref[g], preferred_element_type=f32)  # [B, 3H+9]
+        # one combined matmul: [vh_x|vh_y|vh_z|vdfrep_x|vdfrep_y|vdfrep_z]
+        vhd = jnp.dot(v, wcomb_ref[g], preferred_element_type=f32)  # [B, 3H+27]
         vh_sq = sum(
             vhd[:, k * hidden_dim:(k + 1) * hidden_dim] ** 2 for k in range(3)
         )
@@ -108,8 +124,7 @@ def _gcp2_chain_kernel(
         vnorm = jnp.sqrt(vh_sq + 1e-8) + 1e-8  # [B, H]
         # scalarize: schid[:, c*3+a] = sum_k vdf_k[:, c] * frames[a, k]
         schid = sum(
-            jnp.dot(vhd[:, h3 + 3 * k: h3 + 3 * (k + 1)], rep3,
-                    preferred_element_type=f32) * frame_tiles[k]
+            vhd[:, h3 + 9 * k: h3 + 9 * (k + 1)] * frame_tiles[k]
             for k in range(3)
         )  # [B, 9]
 
@@ -280,19 +295,27 @@ def pack_gcp1_weights(w1: dict, s_dim: int, v_dim: int, ve_dim: int, dtype=np.fl
         return out
 
     wd_i, wd_e, wd_j = wd[:v_dim], wd[v_dim:v_dim + ve_dim], wd[v_dim + ve_dim:]
-    wdf_i, wdf_e, wdf_j = wdf[:v_dim], wdf[v_dim:v_dim + ve_dim], wdf[v_dim + ve_dim:]
+    # rep3 folded into the vdf blocks (see pack_chain_weights): [., 3] -> [., 9]
+    rep = _rep3_np(dtype)
+    wdf_i, wdf_e, wdf_j = (
+        wdf[:v_dim] @ rep, wdf[v_dim:v_dim + ve_dim] @ rep, wdf[v_dim + ve_dim:] @ rep,
+    )
     se_dim = ws.shape[0] - 2 * s_dim - h - 9
 
     return {
-        # node-side vector projections ([3V] coords-major in, [3H+9] out)
+        # node-side vector projections ([3V] coords-major in, [3H+27] out)
         "wvi": np.concatenate([bd3(wd_i), bd3(wdf_i)], axis=1),
         "wvj": np.concatenate([bd3(wd_j), bd3(wdf_j)], axis=1),
-        "wve": np.concatenate([bd3(wd_e), bd3(wdf_e)], axis=1),  # [3Ve, 3H+9]
+        "wve": np.concatenate([bd3(wd_e), bd3(wdf_e)], axis=1),  # [3Ve, 3H+27]
         "wsi": ws[:s_dim],
-        "wse": ws[s_dim: s_dim + se_dim],
         "wsj": ws[s_dim + se_dim: 2 * s_dim + se_dim],
-        "wsvn": ws[2 * s_dim + se_dim: 2 * s_dim + se_dim + h],
-        "wssc": ws[2 * s_dim + se_dim + h:],
+        # one fused [Se+H+9, S] matmul for the edge-local s2 contributions
+        # ([e_feat | vnorm | schid] concat): 3 narrow-K matmuls -> 1
+        "wsx": np.concatenate([
+            ws[s_dim: s_dim + se_dim],                            # wse
+            ws[2 * s_dim + se_dim: 2 * s_dim + se_dim + h],       # wsvn
+            ws[2 * s_dim + se_dim + h:],                          # wssc
+        ], axis=0),
         "bs": bs,
         "wu_bd": bd3(wu)[: 3 * h],  # [3H, 3Vout]
         "wg": wg,
@@ -304,7 +327,7 @@ def pack_gcp1_weights(w1: dict, s_dim: int, v_dim: int, ve_dim: int, dtype=np.fl
 def _message_layer_kernel(
     s_node_ref, v_node_ref, ep_ref,
     # GCP1 weights
-    wvi_ref, wvj_ref, wve_ref, wsi_ref, wse_ref, wsj_ref, wsvn_ref, wssc_ref,
+    wvi_ref, wvj_ref, wve_ref, wsi_ref, wsj_ref, wsx_ref,
     bs1_ref, wu1_ref, wg1_ref, bg1_ref,
     # chain weights
     wcomb_ref, wsc_ref, bsc_ref, wubd_ref, wgc_ref, bgc_ref, wattn_ref, battn_ref,
@@ -315,7 +338,7 @@ def _message_layer_kernel(
 ):
     f32 = jnp.float32
     dt = s_node_ref.dtype
-    se = wse_ref.shape[0]
+    se = wsx_ref.shape[0] - h1 - 9
 
     # Multi-molecule fusion (mols > 1, whole-molecule tiles only): the
     # wrapper reshapes [B, N, .] -> [B/G, G*N, .] and [B, N*N, P] ->
@@ -352,21 +375,21 @@ def _message_layer_kernel(
     s_i = s_node_ref[0, pl.ds(i0, ti), :] if ti != n else s_n
     v_i = v_node_ref[0, pl.ds(i0, ti), :] if ti != n else v_n
 
-    # scalarize selector matmuls (see chain kernel)
+    # tiled frame factors via tile3 selector matmul (once per cell); the
+    # rep3 expansion of vdf is folded into the packed weights, so the
+    # per-stage scalarize is VPU-only
     col = jax.lax.broadcasted_iota(jnp.int32, (3, 9), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (3, 9), 0)
-    rep3 = (col // 3 == row).astype(f32)
     tile3 = (col % 3 == row).astype(f32)
     ftiles = [
-        jnp.dot(ft[:, 3 * k: 3 * (k + 1)].astype(f32), tile3, preferred_element_type=f32)
+        jnp.dot(ft[:, 3 * k: 3 * (k + 1)].astype(f32), tile3,
+                preferred_element_type=f32)
         for k in range(3)
     ]
 
-    def scalarize(vdf_all):
+    def scalarize(vdfrep_all):  # [rows, 27] (9 c-major cols per coordinate)
         return sum(
-            jnp.dot(vdf_all[:, 3 * k: 3 * (k + 1)], rep3, preferred_element_type=f32)
-            * ftiles[k]
-            for k in range(3)
+            vdfrep_all[:, 9 * k: 9 * (k + 1)] * ftiles[k] for k in range(3)
         )
 
     # ---- GCP1 over the virtual concat ----
@@ -377,19 +400,22 @@ def _message_layer_kernel(
         + jnp.dot(T, jnp.dot(v_n, wvj_ref[...], preferred_element_type=f32).astype(dt),
                   preferred_element_type=f32)
         + jnp.dot(xi, wve_ref[...], preferred_element_type=f32)
-    )  # [rows, 3H1+9]
+    )  # [rows, 3H1+27]
     vh_sq = sum(vhd[:, k * h1:(k + 1) * h1] ** 2 for k in range(3))
     vnorm = jnp.sqrt(vh_sq + 1e-8) + 1e-8
     schid = scalarize(vhd[:, h3:])
 
+    # edge-local s2 contributions as ONE fused matmul over the
+    # [e_feat | vnorm | schid] concat (wsx = [wse; wsvn; wssc])
+    cat1 = jnp.concatenate(
+        [e_feat.astype(f32), vnorm, schid], axis=-1
+    ).astype(dt)
     s2 = (
         jnp.dot(R, jnp.dot(s_i, wsi_ref[...],
                            preferred_element_type=f32).astype(dt), preferred_element_type=f32)
         + jnp.dot(T, jnp.dot(s_n, wsj_ref[...], preferred_element_type=f32).astype(dt),
                   preferred_element_type=f32)
-        + jnp.dot(e_feat, wse_ref[...], preferred_element_type=f32)
-        + jnp.dot(vnorm.astype(dt), wsvn_ref[...], preferred_element_type=f32)
-        + jnp.dot(schid.astype(dt), wssc_ref[...], preferred_element_type=f32)
+        + jnp.dot(cat1, wsx_ref[...], preferred_element_type=f32)
         + bs1_ref[...].astype(f32)
     )
     silu1 = jax.nn.silu(s2).astype(dt)
@@ -404,7 +430,7 @@ def _message_layer_kernel(
     # ---- residual chain of secondary GCPs ----
     hc3 = 3 * hc
     for g in range(num_gcps):
-        vhd_g = jnp.dot(v, wcomb_ref[g], preferred_element_type=f32)
+        vhd_g = jnp.dot(v, wcomb_ref[g], preferred_element_type=f32)  # [rows, 3Hc+27]
         vh_sq = sum(vhd_g[:, k * hc:(k + 1) * hc] ** 2 for k in range(3))
         vnorm_g = jnp.sqrt(vh_sq + 1e-8) + 1e-8
         schid_g = scalarize(vhd_g[:, hc3:])
@@ -453,7 +479,7 @@ def fused_message_layer(
     # the trainable path (models/gcpnet_fast.py make_message_layer_fn)
     h1 = gcp1_w["wu_bd"].shape[0] // 3
     w_comb, wsc, bsc, wu_bd, wgc, bgc, wattn, battn = chain_w
-    hc = (w_comb.shape[2] - 9) // 3
+    hc = (w_comb.shape[2] - 27) // 3
     num_gcps = w_comb.shape[0]
 
     if ti is None:
@@ -518,8 +544,8 @@ def fused_message_layer(
 
     g1 = gcp1_w
     weight_args = [
-        g1["wvi"], g1["wvj"], g1["wve"], g1["wsi"], g1["wse"], g1["wsj"],
-        g1["wsvn"], g1["wssc"], g1["bs"], g1["wu_bd"], g1["wg"], g1["bg"],
+        g1["wvi"], g1["wvj"], g1["wve"], g1["wsi"], g1["wsj"], g1["wsx"],
+        g1["bs"], g1["wu_bd"], g1["wg"], g1["bg"],
         w_comb, wsc, bsc, wu_bd, wgc, bgc, wattn, battn,
     ]
 
@@ -579,15 +605,15 @@ def _silu_grad(x_f32, sig):
 def _message_layer_bwd_kernel(
     s_node_ref, v_node_ref, ep_ref, ds_agg_ref, dv_agg_ref,
     # GCP1 weights
-    wvi_ref, wvj_ref, wve_ref, wsi_ref, wse_ref, wsj_ref, wsvn_ref, wssc_ref,
+    wvi_ref, wvj_ref, wve_ref, wsi_ref, wsj_ref, wsx_ref,
     bs1_ref, wu1_ref, wg1_ref, bg1_ref,
     # chain weights
     wcomb_ref, wsc_ref, bsc_ref, wubd_ref, wgc_ref, bgc_ref, wattn_ref, battn_ref,
     # outputs: input grads (per cell)
     dsn_ref, dvn_ref, dep_ref,
     # outputs: weight grads (accumulated across the grid, f32)
-    dwvi_ref, dwvj_ref, dwve_ref, dwsi_ref, dwse_ref, dwsj_ref, dwsvn_ref,
-    dwssc_ref, dbs1_ref, dwu1_ref, dwg1_ref, dbg1_ref,
+    dwvi_ref, dwvj_ref, dwve_ref, dwsi_ref, dwsj_ref, dwsx_ref,
+    dbs1_ref, dwu1_ref, dwg1_ref, dbg1_ref,
     dwcomb_ref, dwsc_ref, dbsc_ref, dwubd_ref, dwgc_ref, dbgc_ref,
     dwattn_ref, dbattn_ref,
     *, ti: int, n: int, s_dim: int, v_dim: int, ve_dim: int,
@@ -595,7 +621,7 @@ def _message_layer_bwd_kernel(
 ):
     f32 = jnp.float32
     dt = s_node_ref.dtype
-    se = wse_ref.shape[0]
+    se = wsx_ref.shape[0] - h1 - 9
     rows = mols * ti * n
     nn = mols * n
     v3 = 3 * v_dim
@@ -610,8 +636,8 @@ def _message_layer_bwd_kernel(
 
     @pl.when(first)
     def _init_weight_grads():
-        for ref in (dwvi_ref, dwvj_ref, dwve_ref, dwsi_ref, dwse_ref, dwsj_ref,
-                    dwsvn_ref, dwssc_ref, dbs1_ref, dwu1_ref, dwg1_ref, dbg1_ref,
+        for ref in (dwvi_ref, dwvj_ref, dwve_ref, dwsi_ref, dwsj_ref, dwsx_ref,
+                    dbs1_ref, dwu1_ref, dwg1_ref, dbg1_ref,
                     dwcomb_ref, dwsc_ref, dbsc_ref, dwubd_ref, dwgc_ref, dbgc_ref,
                     dwattn_ref, dbattn_ref):
             ref[...] = jnp.zeros_like(ref)
@@ -641,21 +667,22 @@ def _message_layer_bwd_kernel(
     tgt = (r_idx // (ti * n)) * n + r_idx % n
     T = (tgt == a_idx).astype(f32)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (3, 9), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (3, 9), 0)
-    rep3 = (col // 3 == row).astype(f32)
-    tile3 = (col % 3 == row).astype(f32)
+    # tiled frame factors via tile3 selector matmul (once per cell); rep3 is
+    # folded into the packed vdf weights so the per-stage scalarize fwd AND
+    # bwd are pure VPU elementwise
+    tcol = jax.lax.broadcasted_iota(jnp.int32, (3, 9), 1)
+    trow = jax.lax.broadcasted_iota(jnp.int32, (3, 9), 0)
+    tile3 = (tcol % 3 == trow).astype(f32)
     ftiles = [
-        jnp.dot(ft[:, 3 * k: 3 * (k + 1)].astype(f32), tile3, preferred_element_type=f32)
+        jnp.dot(ft[:, 3 * k: 3 * (k + 1)].astype(f32), tile3,
+                preferred_element_type=f32)
         for k in range(3)
     ]
 
-    def scalarize_fwd(vdf_all):
-        projs = [
-            jnp.dot(vdf_all[:, 3 * k: 3 * (k + 1)], rep3, preferred_element_type=f32)
-            for k in range(3)
-        ]
-        return sum(pk * fk for pk, fk in zip(projs, ftiles)), projs
+    def scalarize_fwd(vdfrep_all):  # [rows, 27] (9 c-major cols per coord)
+        return sum(
+            vdfrep_all[:, 9 * k: 9 * (k + 1)] * ftiles[k] for k in range(3)
+        )
 
     # ---- forward recompute, storing stage states ----
     Rdt = R.astype(dt)
@@ -666,19 +693,20 @@ def _message_layer_bwd_kernel(
         + jnp.dot(Tdt, jnp.dot(v_n, wvj_ref[...], preferred_element_type=f32).astype(dt),
                   preferred_element_type=f32)
         + jnp.dot(xi, wve_ref[...], preferred_element_type=f32)
-    )  # [rows, 3H1+9] f32
+    )  # [rows, 3H1+27] f32
     q1 = sum(vhd1[:, k * h1:(k + 1) * h1] ** 2 for k in range(3))
     root1 = jnp.sqrt(q1 + 1e-8)
     vnorm1 = root1 + 1e-8
-    schid1, projs1 = scalarize_fwd(vhd1[:, h3:])
+    schid1 = scalarize_fwd(vhd1[:, h3:])
+    # edge-local s2 terms as one fused matmul (wsx = [wse; wsvn; wssc]);
+    # cat1 is kept (f32) for the wsx weight grad
+    cat1 = jnp.concatenate([e_feat.astype(f32), vnorm1, schid1], axis=-1)
     s2_1 = (
         jnp.dot(Rdt, jnp.dot(s_n, wsi_ref[...], preferred_element_type=f32).astype(dt),
                 preferred_element_type=f32)
         + jnp.dot(Tdt, jnp.dot(s_n, wsj_ref[...], preferred_element_type=f32).astype(dt),
                   preferred_element_type=f32)
-        + jnp.dot(e_feat, wse_ref[...], preferred_element_type=f32)
-        + jnp.dot(vnorm1.astype(dt), wsvn_ref[...], preferred_element_type=f32)
-        + jnp.dot(schid1.astype(dt), wssc_ref[...], preferred_element_type=f32)
+        + jnp.dot(cat1.astype(dt), wsx_ref[...], preferred_element_type=f32)
         + bs1_ref[...].astype(f32)
     )
     sig1 = jax.nn.sigmoid(s2_1)
@@ -696,7 +724,7 @@ def _message_layer_bwd_kernel(
         vhd_g = jnp.dot(v_g, wcomb_ref[g], preferred_element_type=f32)
         q_g = sum(vhd_g[:, k * hc:(k + 1) * hc] ** 2 for k in range(3))
         vnorm_g = jnp.sqrt(q_g + 1e-8) + 1e-8
-        schid_g, _ = scalarize_fwd(vhd_g[:, hc3:])
+        schid_g = scalarize_fwd(vhd_g[:, hc3:])
         merged = jnp.concatenate(
             [s_g.astype(f32), vnorm_g, schid_g], axis=-1
         ).astype(dt)
@@ -739,24 +767,26 @@ def _message_layer_bwd_kernel(
 
     def norm_schid_bwd(vhd_g, d_vnorm, d_schid, root, hdim, d_lin):
         """Backward of vnorm + scalarize (+ the vu linear path d_lin into the
-        first 3h columns), returning d_vhd [rows, 3h+9] and the d_ft
-        contribution [rows, 9] (k-major, matching the ft layout)."""
+        first 3h columns), returning d_vhd [rows, 3h+27] and the d_ft
+        contribution [rows, 9] (k-major, matching the ft layout).  With rep3
+        folded into the weights this is pure VPU: d_vdfrep_k = d_schid *
+        ftile_k; d_ft[:, 3k+a] = sum_c (d_schid * vdfrep_k)[:, c*3+a]."""
         hh3 = 3 * hdim
         d_q = d_vnorm * (0.5 / root)
         d_vh = jnp.concatenate(
             [2.0 * vhd_g[:, k * hdim:(k + 1) * hdim] * d_q for k in range(3)], axis=1
         ) + d_lin
-        d_vdf_parts = []
+        d_vdfrep_parts = []
         d_ft_parts = []
         for k in range(3):
-            proj_k = jnp.dot(vhd_g[:, hh3 + 3 * k: hh3 + 3 * (k + 1)], rep3,
-                             preferred_element_type=f32)
-            d_proj = d_schid * ftiles[k]
-            d_vdf_parts.append(jnp.dot(d_proj, rep3.T, preferred_element_type=f32))
+            vdfrep_k = vhd_g[:, hh3 + 9 * k: hh3 + 9 * (k + 1)]
+            d_vdfrep_parts.append(d_schid * ftiles[k])
+            # d_ft[:, 3k+a] = sum_c (d_schid * vdfrep_k)[:, c*3+a] — the
+            # 9->3 fold as one tiny MXU op (tile3.T), not misaligned slices
             d_ft_parts.append(
-                jnp.dot(d_schid * proj_k, tile3.T, preferred_element_type=f32)
+                jnp.dot(d_schid * vdfrep_k, tile3.T, preferred_element_type=f32)
             )
-        d_vhd = jnp.concatenate([d_vh] + d_vdf_parts, axis=1)
+        d_vhd = jnp.concatenate([d_vh] + d_vdfrep_parts, axis=1)
         return d_vhd, jnp.concatenate(d_ft_parts, axis=1)
 
     # chain stages in reverse
@@ -767,7 +797,7 @@ def _message_layer_bwd_kernel(
         q_g = sum(vhd_g[:, k * hc:(k + 1) * hc] ** 2 for k in range(3))
         root_g = jnp.sqrt(q_g + 1e-8)
         vnorm_g = root_g + 1e-8
-        schid_g, _ = scalarize_fwd(vhd_g[:, hc3:])
+        schid_g = scalarize_fwd(vhd_g[:, hc3:])
         merged = jnp.concatenate(
             [s_in.astype(f32), vnorm_g, schid_g], axis=-1
         ).astype(dt)
@@ -833,12 +863,11 @@ def _message_layer_bwd_kernel(
         jnp.dot(rt_ds2, wsi_ref[...].astype(f32).T, preferred_element_type=f32)
         + jnp.dot(tt_ds2, wsj_ref[...].astype(f32).T, preferred_element_type=f32)
     )
-    d_e = jnp.dot(d_s2, wse_ref[...].astype(f32).T, preferred_element_type=f32)
-    dwse_ref[...] += jnp.dot(e_feat.astype(f32).T, d_s2, preferred_element_type=f32)
-    d_vnorm1 = jnp.dot(d_s2, wsvn_ref[...].astype(f32).T, preferred_element_type=f32)
-    dwsvn_ref[...] += jnp.dot(vnorm1.T, d_s2, preferred_element_type=f32)
-    d_schid1 = jnp.dot(d_s2, wssc_ref[...].astype(f32).T, preferred_element_type=f32)
-    dwssc_ref[...] += jnp.dot(schid1.T, d_s2, preferred_element_type=f32)
+    d_cat1 = jnp.dot(d_s2, wsx_ref[...].astype(f32).T, preferred_element_type=f32)
+    d_e = d_cat1[:, :se]
+    d_vnorm1 = d_cat1[:, se: se + h1]
+    d_schid1 = d_cat1[:, se + h1:]
+    dwsx_ref[...] += jnp.dot(cat1.T, d_s2, preferred_element_type=f32)
 
     dwu1_ref[...] += jnp.dot(vhd1[:, :h3].T, d_vu1, preferred_element_type=f32)
     d_vhd_lin1 = jnp.dot(d_vu1, wu1_ref[...].astype(f32).T, preferred_element_type=f32)
@@ -887,7 +916,7 @@ def fused_message_layer_bwd(
     p = epack.shape[-1]
     h1 = gcp1_w["wu_bd"].shape[0] // 3
     w_comb, wsc, bsc, wu_bd, wgc, bgc, wattn, battn = chain_w
-    hc = (w_comb.shape[2] - 9) // 3
+    hc = (w_comb.shape[2] - 27) // 3
     num_gcps = w_comb.shape[0]
 
     # source-tile size: whole molecule when it fits, else the forward's
@@ -947,16 +976,15 @@ def fused_message_layer_bwd(
 
     g1 = gcp1_w
     weight_args = [
-        g1["wvi"], g1["wvj"], g1["wve"], g1["wsi"], g1["wse"], g1["wsj"],
-        g1["wsvn"], g1["wssc"], g1["bs"], g1["wu_bd"], g1["wg"], g1["bg"],
+        g1["wvi"], g1["wvj"], g1["wve"], g1["wsi"], g1["wsj"], g1["wsx"],
+        g1["bs"], g1["wu_bd"], g1["wg"], g1["bg"],
         w_comb, wsc, bsc, wu_bd, wgc, bgc, wattn, battn,
     ]
-    se = g1["wse"].shape[0]
 
     # weight-grad output shapes (f32; biases as 2D rows)
     wg_shapes = [
         g1["wvi"].shape, g1["wvj"].shape, g1["wve"].shape, g1["wsi"].shape,
-        g1["wse"].shape, g1["wsj"].shape, g1["wsvn"].shape, g1["wssc"].shape,
+        g1["wsj"].shape, g1["wsx"].shape,
         (1, s_dim),  # bs1
         g1["wu_bd"].shape, g1["wg"].shape, (1, v_dim),  # bg1
         w_comb.shape, wsc.shape, (num_gcps, s_dim), wu_bd.shape, wgc.shape,
@@ -997,7 +1025,7 @@ def fused_message_layer_bwd(
     )(s_node_r, v_node_r, epack_r, ds_agg_r, dv_agg_r, *weight_args)
 
     d_sn, d_vn, d_ep = outs[0].astype(dt), outs[1].astype(dt), outs[2]
-    (d_wvi, d_wvj, d_wve, d_wsi, d_wse, d_wsj, d_wsvn, d_wssc, d_bs1,
+    (d_wvi, d_wvj, d_wve, d_wsi, d_wsj, d_wsx, d_bs1,
      d_wu1, d_wg1, d_bg1, d_wcomb, d_wsc, d_bsc, d_wubd, d_wgc, d_bgc,
      d_wattn, d_battn) = outs[3:]
 
@@ -1012,8 +1040,7 @@ def fused_message_layer_bwd(
     d_g1 = {
         "wvi": cast(d_wvi, g1["wvi"]), "wvj": cast(d_wvj, g1["wvj"]),
         "wve": cast(d_wve, g1["wve"]), "wsi": cast(d_wsi, g1["wsi"]),
-        "wse": cast(d_wse, g1["wse"]), "wsj": cast(d_wsj, g1["wsj"]),
-        "wsvn": cast(d_wsvn, g1["wsvn"]), "wssc": cast(d_wssc, g1["wssc"]),
+        "wsj": cast(d_wsj, g1["wsj"]), "wsx": cast(d_wsx, g1["wsx"]),
         "bs": cast(d_bs1.reshape(g1["bs"].shape), g1["bs"]),
         "wu_bd": cast(d_wu1, g1["wu_bd"]), "wg": cast(d_wg1, g1["wg"]),
         "bg": cast(d_bg1.reshape(g1["bg"].shape), g1["bg"]),
