@@ -325,7 +325,7 @@ def pack_gcp1_weights(w1: dict, s_dim: int, v_dim: int, ve_dim: int, dtype=np.fl
 
 
 def _message_layer_kernel(
-    s_node_ref, v_node_ref, ep_ref,
+    s_node_ref, v_node_ref, ep_ref, rsel_ref, tsel_ref,
     # GCP1 weights
     wvi_ref, wvj_ref, wve_ref, wsi_ref, wsj_ref, wsx_ref,
     bs1_ref, wu1_ref, wg1_ref, bg1_ref,
@@ -360,15 +360,15 @@ def _message_layer_kernel(
     ft = ep[:, se + 3 * ve_dim: se + 3 * ve_dim + 9]
     emask = ep[:, se + 3 * ve_dim + 9: se + 3 * ve_dim + 10]
 
-    # source selector: R[r, a] = [r // N == a]  (a indexes flattened nodes)
-    r_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, mols * ti), 0)
-    a_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, mols * ti), 1)
-    R = (r_idx // n == a_idx).astype(dt)
-    # target selector: T[r, b] = [(r // N^2)*N + r % N == b]
-    rj_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, nn), 0)
-    j_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, nn), 1)
-    tgt = (rj_idx // (n * n)) * n + rj_idx % n
-    T = (tgt == j_idx).astype(dt)
+    # source/target selectors R[r, a] = [r // N == a] (a over this tile's
+    # source rows) and T[r, b] = [(r // N^2)*N + r % N == b] (b over
+    # flattened nodes) are PRECOMPUTED by the wrapper — they're
+    # tile-independent in every mode, so like the weights they're fetched
+    # into VMEM once and reused by every grid cell.  Building them in-kernel
+    # (iota + integer div + compare + cast per cell) measured ~6% of the
+    # whole sampling call.
+    R = rsel_ref[...]
+    T = tsel_ref[...]
 
     t = pl.program_id(1)
     i0 = pl.multiple_of(t * ti, ti)
@@ -518,6 +518,15 @@ def fused_message_layer(
         v_node = v_node.reshape(b // mols, mols * n, v3)
         epack = epack.reshape(b // mols, mols * n * n, p)
 
+    # precomputed selectors (see kernel comment): tile-independent, loaded
+    # once into VMEM.  XLA constant-folds them per compiled shape.
+    rows_cell = mols * ti * n
+    r1 = jnp.arange(rows_cell, dtype=jnp.int32)[:, None]
+    rsel = (r1 // n == jnp.arange(mols * ti, dtype=jnp.int32)[None, :]
+            ).astype(s_node.dtype)
+    tsel = ((r1 // (n * n)) * n + r1 % n
+            == jnp.arange(mols * n, dtype=jnp.int32)[None, :]).astype(s_node.dtype)
+
     grid = (b // mols, n // ti)
 
     def nspec(width):
@@ -563,7 +572,8 @@ def fused_message_layer(
     s_agg, v_agg = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[nspec(s_dim), nspec(v3), espec()] + [full_spec(w) for w in weight_args],
+        in_specs=[nspec(s_dim), nspec(v3), espec(), full_spec(rsel),
+                  full_spec(tsel)] + [full_spec(w) for w in weight_args],
         out_specs=[ospec(s_dim), ospec(v3)],
         out_shape=[
             jax.ShapeDtypeStruct((b // mols, mols * n, s_dim), s_node.dtype),
@@ -574,7 +584,7 @@ def fused_message_layer(
         # conservative 16 MiB default scoped-vmem limit on v5e
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(s_node, v_node, epack, *weight_args)
+    )(s_node, v_node, epack, rsel, tsel, *weight_args)
 
     if mols > 1:
         s_agg = s_agg.reshape(b, n, s_dim)
@@ -603,7 +613,7 @@ def _silu_grad(x_f32, sig):
 
 
 def _message_layer_bwd_kernel(
-    s_node_ref, v_node_ref, ep_ref, ds_agg_ref, dv_agg_ref,
+    s_node_ref, v_node_ref, ep_ref, ds_agg_ref, dv_agg_ref, rsel_ref, tsel_ref,
     # GCP1 weights
     wvi_ref, wvj_ref, wve_ref, wsi_ref, wsj_ref, wsx_ref,
     bs1_ref, wu1_ref, wg1_ref, bg1_ref,
@@ -617,7 +627,7 @@ def _message_layer_bwd_kernel(
     dwcomb_ref, dwsc_ref, dbsc_ref, dwubd_ref, dwgc_ref, dbgc_ref,
     dwattn_ref, dbattn_ref,
     *, ti: int, n: int, s_dim: int, v_dim: int, ve_dim: int,
-    h1: int, hc: int, num_gcps: int, mols: int,
+    h1: int, hc: int, num_gcps: int, mols: int, sel_r: bool,
 ):
     f32 = jnp.float32
     dt = s_node_ref.dtype
@@ -660,12 +670,20 @@ def _message_layer_bwd_kernel(
     # selectors (f32 for grad matmuls).  Row r of this tile maps to GLOBAL
     # source node i0 + r // N (sub-molecule tiling; for fused whole-molecule
     # cells ti == n, i0 == 0 and r // n is the flattened molecule-node index)
-    # and to target node (r // N^2)*N + r % N.
-    r_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, nn), 0)
-    a_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, nn), 1)
-    R = (r_idx // n + i0 == a_idx).astype(f32)
-    tgt = (r_idx // (ti * n)) * n + r_idx % n
-    T = (tgt == a_idx).astype(f32)
+    # and to target node (r // N^2)*N + r % N.  T is tile-independent and
+    # always precomputed by the wrapper (fetched into VMEM once); R is
+    # precomputed for whole-molecule cells (sel_r) and built in-kernel only
+    # for sub-tiled cells, where it depends on the source-tile offset i0.
+    Tdt = tsel_ref[...]
+    T = Tdt.astype(f32)
+    if sel_r:
+        Rdt = rsel_ref[...]
+        R = Rdt.astype(f32)
+    else:
+        r_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, nn), 0)
+        a_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, nn), 1)
+        R = (r_idx // n + i0 == a_idx).astype(f32)
+        Rdt = R.astype(dt)
 
     # tiled frame factors via tile3 selector matmul (once per cell); rep3 is
     # folded into the packed vdf weights so the per-stage scalarize fwd AND
@@ -685,8 +703,6 @@ def _message_layer_bwd_kernel(
         )
 
     # ---- forward recompute, storing stage states ----
-    Rdt = R.astype(dt)
-    Tdt = T.astype(dt)
     vhd1 = (
         jnp.dot(Rdt, jnp.dot(v_n, wvi_ref[...], preferred_element_type=f32).astype(dt),
                 preferred_element_type=f32)
@@ -958,6 +974,16 @@ def fused_message_layer_bwd(
     grid = (b // mols, n // ti)
     dt = s_node.dtype
 
+    # precomputed selectors (see kernel comment): T always (tile-independent
+    # in every mode); R only for whole-molecule cells (i0 == 0)
+    rows_cell = mols * ti * n
+    r1 = jnp.arange(rows_cell, dtype=jnp.int32)[:, None]
+    b_idx = jnp.arange(mols * n, dtype=jnp.int32)[None, :]
+    tsel = ((r1 // (n * n)) * n + r1 % n == b_idx).astype(dt)
+    sel_r = ti == n
+    rsel = ((r1 // n == b_idx).astype(dt) if sel_r
+            else jnp.zeros((8, 128), dt))
+
     def nspec(width):
         return pl.BlockSpec((1, mols * n, width), lambda bb, tt: (bb, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -994,7 +1020,7 @@ def fused_message_layer_bwd(
     kernel = functools.partial(
         _message_layer_bwd_kernel,
         ti=ti, n=n, s_dim=s_dim, v_dim=v_dim, ve_dim=ve_dim,
-        h1=h1, hc=hc, num_gcps=num_gcps, mols=mols,
+        h1=h1, hc=hc, num_gcps=num_gcps, mols=mols, sel_r=sel_r,
     )
 
     # node grads accumulate across source tiles -> keep them f32
@@ -1014,7 +1040,8 @@ def fused_message_layer_bwd(
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[nspec(s_dim), nspec(v3), espec(), nspec(s_dim), nspec(v3)]
+        in_specs=[nspec(s_dim), nspec(v3), espec(), nspec(s_dim), nspec(v3),
+                  full_spec(rsel), full_spec(tsel)]
         + [full_spec(w) for w in weight_args],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -1022,7 +1049,8 @@ def fused_message_layer_bwd(
         # default 16 MiB scoped-vmem limit is conservative for v5e
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(s_node_r, v_node_r, epack_r, ds_agg_r, dv_agg_r, *weight_args)
+    )(s_node_r, v_node_r, epack_r, ds_agg_r, dv_agg_r, rsel, tsel,
+      *weight_args)
 
     d_sn, d_vn, d_ep = outs[0].astype(dt), outs[1].astype(dt), outs[2]
     (d_wvi, d_wvj, d_wve, d_wsi, d_wsj, d_wsx, d_bs1,
