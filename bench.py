@@ -73,7 +73,11 @@ def run_all():
         else:
             rows[wl] = {"error": proc.stderr[-500:]}
         print(f"# {wl}: {rows.get(wl)}", file=sys.stderr)
-    headline = dict(rows.get("qm9", {"metric": "qm9", "value": 0, "vs_baseline": 0}))
+    headline = dict(rows["qm9"])
+    if "metric" not in headline:  # qm9 sub-run failed: keep the schema
+        headline = {"metric": "qm9_uncond_sampling_denoiser_evals_per_s",
+                    "value": 0, "unit": "denoiser evals/s", "vs_baseline": 0,
+                    "error": headline.get("error", "no JSON line")}
     headline["extra"] = {k: v for k, v in rows.items() if k != "qm9"}
     print(json.dumps(headline))
 

@@ -28,6 +28,21 @@ def mol2smiles(mol) -> Optional[str]:
     return Chem.MolToSmiles(mol)
 
 
+def build_molecular_metrics(dataset_info, smiles_filepath=None):
+    """``BasicMolecularMetrics`` when RDKit is importable, else None — the
+    single construction point shared by in-training sampling eval
+    (train/loop.py) and the eval CLI.  Loads the training-set SMILES list
+    (``.npy``) for novelty when the file exists."""
+    import os
+
+    if not RDKIT_AVAILABLE:
+        return None
+    smiles = None
+    if smiles_filepath and os.path.exists(str(smiles_filepath)):
+        smiles = np.load(smiles_filepath, allow_pickle=True)
+    return BasicMolecularMetrics(dataset_info, dataset_smiles_list=smiles)
+
+
 class BasicMolecularMetrics:
     """Validity / uniqueness / novelty over (positions, atom_types) samples."""
 

@@ -47,17 +47,11 @@ def main(argv=None):
     )
 
     # optional RDKit metrics with training-set SMILES for novelty
-    molecular_metrics = None
-    from bio_diffusion_tpu.chem.molecule import RDKIT_AVAILABLE
+    from bio_diffusion_tpu.chem.rdkit_bridge import build_molecular_metrics
 
-    if RDKIT_AVAILABLE:
-        from bio_diffusion_tpu.chem.rdkit_bridge import BasicMolecularMetrics
-
-        smiles = None
-        smiles_path = exp.dataloader_cfg.smiles_filepath
-        if smiles_path and os.path.exists(str(smiles_path)):
-            smiles = np.load(smiles_path, allow_pickle=True)
-        molecular_metrics = BasicMolecularMetrics(dataset_info, dataset_smiles_list=smiles)
+    molecular_metrics = build_molecular_metrics(
+        dataset_info, exp.dataloader_cfg.smiles_filepath
+    )
 
     metrics = analyze_samples(
         xh, node_mask, dataset_info,

@@ -437,13 +437,25 @@ def make_message_layer_fn(ve_dim: int, use_pallas: bool, interpret: bool = False
 
     from jax.sharding import PartitionSpec as P
 
-    return jax.shard_map(
+    sharded = jax.shard_map(
         layer,
         mesh=mesh,
         in_specs=(P("data"), P("data"), P("data"), P(), P()),
         out_specs=(P("data"), P("data")),
         check_vma=False,
     )
+    dp = int(mesh.shape.get("data", 1))
+
+    def dispatch(s_node, v_node, epack, g1, chain):
+        # shard_map requires the batch to divide the data axis; ragged final
+        # batches (drop_last=False loaders replicate them, train/loop.py
+        # _shard) take the GSPMD-partitionable packed-XLA path instead —
+        # same math, just not kernel-accelerated.  Static at trace time.
+        if s_node.shape[0] % dp:
+            return ref(s_node, v_node, epack, g1, chain)
+        return sharded(s_node, v_node, epack, g1, chain)
+
+    return dispatch
 
 
 # ---------------------------------------------------------------------------

@@ -51,6 +51,34 @@ DEFAULT_BLOCK = 1024
 WHOLE_MOL_ROWS = 2600
 
 
+def select_tile(n: int) -> int:
+    """Source-tile size shared by the fwd and bwd wrappers (they MUST agree:
+    different tilings per direction would mean different numerics/VMEM
+    behavior).  Whole molecule when its n*n edge rows fit a cell, else the
+    largest multiple of 8 that divides n (output blocks need ti % 8 == 0;
+    callers pad n to a multiple of 8 — gcpnet_fast._pad_nodes)."""
+    if n * n <= WHOLE_MOL_ROWS:
+        return n
+    ti = max(8, (WHOLE_MOL_ROWS // n) // 8 * 8)
+    while n % ti != 0 and ti > 8:
+        ti -= 8
+    return ti
+
+
+def select_fusion(b: int, n: int) -> int:
+    """Molecules fused per whole-molecule grid cell ([B,N,.] -> [B/G,G*N,.]
+    reshaped outside the kernel).  Bounded by VMEM cell rows
+    (PALLAS_FUSE_BUDGET_ROWS) and PALLAS_FUSE_MAX; G must divide B.  G=5 at
+    QM9 sizes measured optimal (G in {1,2,5,10} all benched, BASELINE.md)."""
+    budget_rows = int(os.environ.get("PALLAS_FUSE_BUDGET_ROWS", 2048))
+    fuse_max = int(os.environ.get("PALLAS_FUSE_MAX", 8))
+    budget = max(1, budget_rows // (n * n))
+    for cand in range(min(b, budget, fuse_max), 0, -1):
+        if b % cand == 0:
+            return cand
+    return 1
+
+
 def _rep3_np(dtype=np.float32):
     """[3, 9] repeat selector: rep3[c, c*3+a] = 1 (c-major expansion)."""
     col = np.arange(9)[None, :]
@@ -349,9 +377,6 @@ def _message_layer_kernel(
     # maps to source node r // N (already molecule-flattened) and to target
     # node (r // N**2)*N + r % N; the selectors encode exactly that, so
     # cross-molecule terms are never selected.
-    rows = mols * ti * n
-    nn = mols * n  # flattened node count per cell
-
     s_n = s_node_ref[0]  # [G*N, S]
     v_n = v_node_ref[0]  # [G*N, 3V]
     ep = ep_ref[0]  # [G*TI*N, P]
@@ -483,35 +508,16 @@ def fused_message_layer(
     num_gcps = w_comb.shape[0]
 
     if ti is None:
-        if n * n <= WHOLE_MOL_ROWS:
-            ti = n
-        else:
-            # sub-molecule tiling: output blocks (1, ti, S) need ti % 8 == 0,
-            # so large molecules require n % 8 == 0 (callers pad; see
-            # gcpnet_fast.forward)
-            ti = max(8, (WHOLE_MOL_ROWS // n) // 8 * 8)
-            while n % ti != 0 and ti > 8:
-                ti -= 8
+        ti = select_tile(n)
     assert n % ti == 0, (
         f"N={n} has no legal tile TI={ti}; pad N to a multiple of 8 for large molecules"
     )
 
-    # molecules fused per grid cell (whole-molecule tiles only): reshape
-    # [B, N, .] -> [B/G, G*N, .] OUTSIDE the kernel so each cell runs ONE
-    # set of big matmuls over G flattened molecules (M = G*N^2 rows,
-    # selector K = G*N).  Small per-molecule matmul shapes were the measured
-    # bottleneck (~22% MXU utilization at QM9 sizes); fusing G=5 molecules
-    # grows every MXU dimension without any node-axis padding.
-    mols = 1
-    if ti == n:
-        # bound cell rows (VMEM); env knobs for fusion experiments
-        budget_rows = int(os.environ.get("PALLAS_FUSE_BUDGET_ROWS", 2048))
-        fuse_max = int(os.environ.get("PALLAS_FUSE_MAX", 8))
-        budget = max(1, budget_rows // (n * n))
-        for cand in range(min(b, budget, fuse_max), 0, -1):
-            if b % cand == 0:
-                mols = cand
-                break
+    # molecules fused per grid cell (whole-molecule tiles only): one cell
+    # runs ONE set of big matmuls over G flattened molecules — small
+    # per-molecule matmul shapes were the measured bottleneck (~22% MXU
+    # utilization at QM9 sizes); fusion grows every MXU dim with no padding
+    mols = select_fusion(b, n) if ti == n else 1
 
     if mols > 1:
         s_node = s_node.reshape(b // mols, mols * n, s_dim)
@@ -935,30 +941,11 @@ def fused_message_layer_bwd(
     hc = (w_comb.shape[2] - 27) // 3
     num_gcps = w_comb.shape[0]
 
-    # source-tile size: whole molecule when it fits, else the forward's
-    # sub-molecule tiling (n % 8 == 0, guaranteed by _pad_nodes) — the
-    # GEOM 44-181-atom range trains through the kernel, not the AD fallback
-    if n * n <= WHOLE_MOL_ROWS:
-        ti = n
-    else:
-        ti = max(8, (WHOLE_MOL_ROWS // n) // 8 * 8)
-        while n % ti != 0 and ti > 8:
-            ti -= 8
-        assert n % ti == 0, (
-            f"N={n} has no legal bwd tile; pad N to a multiple of 8"
-        )
-
-    # smaller fusion than fwd: the bwd kernel keeps stage states + f32
-    # transients in VMEM (~24 MB at 841 rows), so bound cell rows by the
-    # raised 100 MiB scoped-vmem limit.  Fusion applies to whole-molecule
-    # cells only (ti == n).
-    mols = 1
-    if ti == n:
-        budget = max(1, int(os.environ.get("PALLAS_FUSE_BUDGET_ROWS", 2048)) // (n * n))
-        for cand in range(min(b, budget, int(os.environ.get("PALLAS_FUSE_MAX", 8))), 0, -1):
-            if b % cand == 0:
-                mols = cand
-                break
+    # source-tile size / fusion MUST match the forward's (shared helpers) —
+    # the GEOM 44-181-atom range trains through the kernel, not AD fallback
+    ti = select_tile(n)
+    assert n % ti == 0, f"N={n} has no legal bwd tile; pad N to a multiple of 8"
+    mols = select_fusion(b, n) if ti == n else 1
 
     ds_agg, dv_agg = cotangents
     if mols > 1:

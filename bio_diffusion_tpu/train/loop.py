@@ -349,20 +349,11 @@ class Trainer:
         eval (reference analyze_samples, qm9_mol_gen_ddpm.py:845-885) — built
         once when RDKit is importable, else None."""
         if self._molecular_metrics is None:
-            from bio_diffusion_tpu.chem.molecule import RDKIT_AVAILABLE
+            from bio_diffusion_tpu.chem.rdkit_bridge import build_molecular_metrics
 
-            if not RDKIT_AVAILABLE:
-                self._molecular_metrics = False
-            else:
-                from bio_diffusion_tpu.chem.rdkit_bridge import BasicMolecularMetrics
-
-                smiles = None
-                smiles_path = self.exp.dataloader_cfg.smiles_filepath
-                if smiles_path and os.path.exists(str(smiles_path)):
-                    smiles = np.load(smiles_path, allow_pickle=True)
-                self._molecular_metrics = BasicMolecularMetrics(
-                    self.dataset_info, dataset_smiles_list=smiles
-                )
+            self._molecular_metrics = build_molecular_metrics(
+                self.dataset_info, self.exp.dataloader_cfg.smiles_filepath
+            ) or False
         return self._molecular_metrics or None
 
     def evaluate_sampling(self, epoch: int, num_samples: Optional[int] = None) -> Dict[str, float]:

@@ -7,6 +7,8 @@ Usage:
   python scripts/bench_train_step.py [--batch 64] [--nodes 29] [--layers 9]
       [--precision bf16|f32] [--paths module,xla,pallas] [--steps 20]
       [--remat]   # remat applies to the module path only
+      [--curve K] # print the loss every K steps (trajectory comparison
+                  # between paths; the per-step host sync perturbs timing)
 
 Prints one line per path: name, ms/step, steps/s.
 """
@@ -33,6 +35,7 @@ def main(argv=None):
     steps = int(opt("--steps", 20))
     paths = opt("--paths", "module,xla,pallas").split(",")
     remat = "--remat" in argv
+    curve = int(opt("--curve", 0))
 
     import jax
     import jax.numpy as jnp
@@ -99,6 +102,9 @@ def main(argv=None):
         t0 = time.time()
         for i in range(steps):
             state, metrics = step(state, b, jax.random.PRNGKey(2 + i))
+            if curve and (i + 1) % curve == 0:
+                print(f"#   {name} step {i + 1}: loss={float(metrics['loss']):.4f}",
+                      file=sys.stderr)
         loss = float(metrics["loss"])  # forces completion
         dt = (time.time() - t0) / steps
         print(f"{name}: {dt * 1e3:.1f} ms/step ({1.0 / dt:.2f} steps/s) "

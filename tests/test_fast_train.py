@@ -315,6 +315,40 @@ def test_shard_map_pallas_matches_packed_xla_under_mesh():
         )
 
 
+def test_shard_map_mesh_handles_ragged_batch():
+    """A batch whose leading dim does not divide the mesh's data axis (the
+    drop_last=False final validation batch, replicated by Trainer._shard)
+    must NOT crash the mesh-bound Pallas path — it dispatches to the
+    GSPMD-partitionable packed-XLA layer at trace time and matches it."""
+    from bio_diffusion_tpu.parallel.mesh import make_mesh
+
+    mc, mod, lcfg, dc, dl = _cfgs()
+    mesh = make_mesh(data=8, model=1)
+
+    fast_xla = FastGCPNetDynamics(mc, mod, lcfg, dc, dl, use_pallas=False)
+    fast_sm = FastGCPNetDynamics(
+        mc, mod, lcfg, dc, dl, use_pallas=True, interpret=True, mesh=mesh,
+    )
+
+    b, n, f = 3, 6, 6  # 3 % 8 != 0: ragged
+    key = jax.random.PRNGKey(7)
+    sizes = jnp.array([4, 6, 5])[:, None]
+    node_mask = (jnp.arange(n)[None, :] < sizes).astype(jnp.float32)
+    xh = jax.random.normal(key, (b, n, 3 + f)) * node_mask[..., None]
+    _, x = centralize(xh[..., :3], node_mask)
+    xh = jnp.concatenate([x, xh[..., 3:]], -1)
+    t = jax.random.uniform(jax.random.PRNGKey(8), (b, 1))
+    module = GCPNetDynamics(mc, mod, lcfg, dc, dl, remat_interactions=False)
+    params = module.init(jax.random.PRNGKey(1), xh, t, node_mask)
+
+    with mesh:
+        out_sm = jax.jit(fast_sm.apply)(params, xh, t, node_mask)
+        out_xla = jax.jit(fast_xla.apply)(params, xh, t, node_mask)
+    np.testing.assert_allclose(
+        np.asarray(out_sm), np.asarray(out_xla), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_pallas_bwd_kernel_subtiled_large_molecules(key):
     """VERDICT r2 #6: the handwritten backward kernel covers GEOM-scale
     molecules via sub-molecule source tiling.  N=60 (padded to 64 inside the
