@@ -93,3 +93,24 @@ def nodes_distribution_for(exp: ExperimentConfig) -> NumNodesDistribution:
     info = get_dataset_info_for(exp)
     hist = {int(k): int(v) for k, v in info["n_nodes"].items()}
     return NumNodesDistribution(hist)
+
+
+def inference_mesh(cfg: Optional[Dict[str, Any]] = None):
+    """Data-parallel mesh over all local devices for the inference CLIs
+    (``use_mesh`` config key, default true) — multi-chip sampling/eval
+    scale-out the reference does not have (its sampling entry points are
+    single-GPU, src/mol_gen_sample.py / src/mol_gen_eval.py).  Returns None
+    on a single device, so single-chip behavior (and its jit cache) is
+    unchanged."""
+    use = True if cfg is None else _truthy(cfg.get("use_mesh", True))
+    if not use or len(jax.devices()) <= 1:
+        return None
+    from bio_diffusion_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(data=len(jax.devices()), model=1)
+
+
+def _truthy(v: Any) -> bool:
+    if isinstance(v, str):
+        return v.lower() not in ("false", "0", "no", "off")
+    return bool(v)

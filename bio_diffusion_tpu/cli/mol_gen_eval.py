@@ -17,7 +17,7 @@ import sys
 import jax
 import numpy as np
 
-from bio_diffusion_tpu.cli.common import load_model, nodes_distribution_for, parse_cli
+from bio_diffusion_tpu.cli.common import inference_mesh, load_model, nodes_distribution_for, parse_cli
 from bio_diffusion_tpu.config.build import build_datasets, build_experiment, get_dataset_info_for
 from bio_diffusion_tpu.train.sampling import SegmentedSampler, analyze_samples, sample_molecules
 from bio_diffusion_tpu.utils.logging import get_logger
@@ -32,7 +32,7 @@ def main(argv=None):
     nodes_dist = nodes_distribution_for(exp)
 
     evd, params = load_model(exp, cfg.get("ckpt_path"))
-    sampler = SegmentedSampler(evd, params)
+    sampler = SegmentedSampler(evd, params, mesh=inference_mesh(cfg))
     rng = np.random.default_rng(exp.seed)
     key = jax.random.PRNGKey(exp.seed)
 

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bio_diffusion_tpu.cli.common import load_model, nodes_distribution_for, parse_cli
+from bio_diffusion_tpu.cli.common import inference_mesh, load_model, nodes_distribution_for, parse_cli
 from bio_diffusion_tpu.config.build import build_datasets, build_experiment
 from bio_diffusion_tpu.models.distributions import PropertiesDistribution, compute_mean_mad
 from bio_diffusion_tpu.train.sampling import SegmentedSampler, make_node_mask
@@ -57,7 +57,7 @@ def main(argv=None):
     nodes_dist = nodes_distribution_for(exp)
 
     evd, params = load_model(exp, cfg.get("generator_model_filepath") or cfg.get("ckpt_path"))
-    sampler = SegmentedSampler(evd, params)
+    sampler = SegmentedSampler(evd, params, mesh=inference_mesh(cfg))
 
     # property normalizers from the second-half valid split (reference
     # compute_mean_mad for QM9_second_half)

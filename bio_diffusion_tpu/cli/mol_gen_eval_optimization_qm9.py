@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bio_diffusion_tpu.cli.common import load_model, nodes_distribution_for, parse_cli
+from bio_diffusion_tpu.cli.common import inference_mesh, load_model, nodes_distribution_for, parse_cli
 from bio_diffusion_tpu.cli.mol_gen_eval_conditional_qm9 import apply_conditional_surgery
 from bio_diffusion_tpu.chem.stability import batch_molecular_stability
 from bio_diffusion_tpu.config.build import build_datasets, build_experiment, get_dataset_info_for
@@ -87,7 +87,7 @@ def main(argv=None):
     else:
         uncond_ckpt = cfg.get("unconditional_generator_model_filepath")
         evd_u, params_u = load_model(uncond_exp, uncond_ckpt)
-        sampler_u = SegmentedSampler(evd_u, params_u)
+        sampler_u = SegmentedSampler(evd_u, params_u, mesh=inference_mesh(cfg))
         xs, ohs = [], []
         for start in range(0, num_samples, batch_size):
             b = min(batch_size, num_samples - start)

@@ -704,11 +704,18 @@ def make_fast_dynamics(
     compute_dtype: Optional[str] = "bfloat16",
     use_pallas: bool = True,
     interpret: bool = False,
+    mesh=None,
 ):
     """Build fn(xh, t, node_mask, context, xh_self_cond) closing over weights.
 
     ``params``: the full EVD variables dict ({'params': {'dynamics': ...}})
     or the dynamics variables ({'params': ...}).
+
+    With ``mesh``: multi-chip data-parallel SAMPLING — the Pallas message
+    kernel (not GSPMD-partitionable) runs per-shard under jax.shard_map on
+    the mesh's 'data' axis, exactly like the trainable path
+    (make_message_layer_fn); everything else partitions under GSPMD from
+    the sharded batch inputs (SegmentedSampler.run device_puts them).
     """
     assert supports_fast_path(module_cfg, layer_cfg), "config not supported by the fast path"
     p = params["params"]
@@ -739,6 +746,11 @@ def make_fast_dynamics(
             mega_layers.append((g1, chain))
     nx = dl.num_x_dims
     n_cond = len(mod.conditioning)
+    layer_fn = (
+        make_message_layer_fn(mc.xi_hidden_dim, use_pallas=True,
+                              interpret=interpret, mesh=mesh)
+        if use_pallas else None
+    )
 
     def forward(xh, t, node_mask, context=None, xh_self_cond=None, deterministic=True):
         xh, node_mask, context, xh_self_cond, n_orig, n_pad = _pad_nodes(
@@ -777,9 +789,9 @@ def make_fast_dynamics(
             layer = dyn[f"interaction_layers_{i}"]
             if use_pallas:
                 g1, chain = mega_layers[i]
-                s_agg, v_agg3 = fused_message_layer(
+                s_agg, v_agg3 = layer_fn(
                     s_node, v_node.reshape(b, n, 3 * mc.chi_hidden_dim),
-                    epack, g1, chain, ve_dim=mc.xi_hidden_dim, interpret=interpret,
+                    epack, g1, chain,
                 )
                 v_agg = v_agg3.reshape(b, n, 3, mc.chi_hidden_dim)
             else:

@@ -39,13 +39,15 @@ class FunctionDynamics:
         return _FunctionDynamics()
 
 
-def build_fast_evd(evd, params, interpret: bool = False):
+def build_fast_evd(evd, params, interpret: bool = False, mesh=None):
     """Clone the EVD with its dynamics replaced by the baked-weight
     pure-function fast path (models/gcpnet_fast.py) when the configuration
     supports it; the clone applies with an EMPTY variables dict.  Returns
     None when the fast path doesn't apply (non-GCPNet dynamics, unsupported
     module options, or a learned noise schedule whose GammaNetwork params
-    live in the EVD tree)."""
+    live in the EVD tree).  ``mesh``: multi-chip data-parallel sampling —
+    the Pallas kernel runs per-shard under shard_map (see
+    make_fast_dynamics)."""
     from bio_diffusion_tpu.models.gcpnet import GCPNetDynamics
     from bio_diffusion_tpu.models.gcpnet_fast import make_fast_dynamics, supports_fast_path
 
@@ -64,6 +66,7 @@ def build_fast_evd(evd, params, interpret: bool = False):
         compute_dtype=dyn.compute_dtype,
         use_pallas=on_tpu or interpret,
         interpret=interpret,
+        mesh=mesh,
     )
     return evd.clone(dynamics=FunctionDynamics(fwd))
 
@@ -78,6 +81,13 @@ class SegmentedSampler:
     (models/gcpnet_fast.py) when the model configuration supports it; the
     weights are baked as constants, so build one sampler per weight set.
 
+    ``mesh``: multi-chip data-parallel sampling.  Batch inputs are
+    device_put with the batch sharding, GSPMD partitions the scan body over
+    the 'data' axis, and the Pallas kernel runs per-shard under shard_map
+    (batches not divisible by the data axis dispatch to the partitionable
+    packed-XLA layer).  The reference has no inference scale-out at all
+    (single-GPU sampling, src/mol_gen_sample.py).
+
     NOTE: ``params`` must be created via ``evd.init`` on a path that calls
     the dynamics network OUTSIDE lax.scan (the default ``__call__``/loss
     path, or the dynamics module directly) — initializing through
@@ -85,14 +95,15 @@ class SegmentedSampler:
     """
 
     def __init__(self, evd, params, segment_size: int = 200, fast: str = "auto",
-                 interpret: bool = False):
+                 interpret: bool = False, mesh=None):
         self.evd = evd
         self.params = params
         self.segment_size = segment_size
         self.self_condition = evd.diffusion_cfg.self_condition
+        self.mesh = mesh
 
         if fast in ("auto", True, "on"):
-            fast_evd = self._try_build_fast(evd, params, interpret)
+            fast_evd = self._try_build_fast(evd, params, interpret, mesh)
             if fast_evd is not None:
                 self.evd = fast_evd
                 self.params = {}
@@ -116,8 +127,8 @@ class SegmentedSampler:
         )
 
     @staticmethod
-    def _try_build_fast(evd, params, interpret: bool):
-        return build_fast_evd(evd, params, interpret=interpret)
+    def _try_build_fast(evd, params, interpret: bool, mesh=None):
+        return build_fast_evd(evd, params, interpret=interpret, mesh=mesh)
 
     def run(
         self,
@@ -139,6 +150,20 @@ class SegmentedSampler:
         T_s = evd.T if num_timesteps is None else num_timesteps
         denom = float(evd.T if norm_with_original_timesteps else T_s)
         fix_sc = fix_noise if self.self_condition else False
+
+        if self.mesh is not None and node_mask.shape[0] % self.mesh.shape["data"] == 0:
+            # shard the batch over the data axis; GSPMD partitions
+            # everything downstream from these input shardings.  Ragged
+            # batches (final drop_last=False batch) stay unsharded —
+            # single-device execution, still correct.
+            from bio_diffusion_tpu.parallel.mesh import batch_sharding
+
+            bs = batch_sharding(self.mesh)
+            node_mask = jax.device_put(node_mask, bs)
+            if context is not None:
+                context = jax.device_put(context, bs)
+            if z_init is not None:
+                z_init = jax.device_put(z_init, bs)
 
         key, k_init = jax.random.split(key)
         if z_init is None:
