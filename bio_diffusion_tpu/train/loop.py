@@ -370,20 +370,16 @@ class Trainer:
 
             dyn = self.evd_train.dynamics
             if isinstance(dyn, FastGCPNetDynamics):
-                # host-driven sampling batches are not mesh-sharded: drop the
-                # shard_map wrapper (and the kernel with it when it was
-                # mesh-bound) for the eval sampler
-                sampling_evd = self.evd.clone(dynamics=FastGCPNetDynamics(
-                    dyn.model_cfg, dyn.module_cfg, dyn.layer_cfg,
-                    dyn.diffusion_cfg, dyn.dataloader_cfg,
-                    compute_dtype=dyn.compute_dtype,
-                    use_pallas=dyn.use_pallas and dyn.mesh is None,
-                    interpret=dyn.interpret,
-                ))
+                # the trainable dynamics carries the training mesh (kernel
+                # per-shard under shard_map); the sampler shards its batch
+                # inputs over the same mesh, so in-training sampling eval
+                # scales out with training
+                sampling_evd = self.evd.clone(dynamics=dyn)
             else:
                 sampling_evd = self.evd_sample
             self._eval_sampler = SegmentedSampler(
-                sampling_evd, self.state.ema_params, fast="off"
+                sampling_evd, self.state.ema_params, fast="off",
+                mesh=getattr(sampling_evd.dynamics, "mesh", None),
             )
         sampler = self._eval_sampler
         sampler.params = self.state.ema_params

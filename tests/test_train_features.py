@@ -150,6 +150,39 @@ def test_trainer_grad_accumulation_runs(tmp_path):
     assert np.isfinite(float(train_rows[-1]["train/loss"]))
 
 
+def test_in_training_sampling_eval_and_viz(tmp_path):
+    """In-training sampling evaluation end to end (reference
+    sample_and_analyze, qm9_mol_gen_ddpm.py:745): one epoch with
+    sample_during_training, eval_epochs=1 and visualization on — stability
+    metrics logged under val/, xyz frames + viz artifacts written.  Runs
+    under the trainer's default 8-virtual-device mesh, so the mesh-bound
+    eval sampler path (Trainer.evaluate_sampling) is the one exercised."""
+    from bio_diffusion_tpu.cli.train import main
+
+    workdir = str(tmp_path / "run")
+    main([o for o in TINY if "sample_during_training" not in o] + [
+        "model.diffusion_cfg.sample_during_training=true",
+        "model.diffusion_cfg.eval_epochs=1",
+        "model.diffusion_cfg.num_eval_samples=4",
+        "model.diffusion_cfg.eval_batch_size=4",
+        "model.diffusion_cfg.visualize_sample_epochs=1",
+        "model.diffusion_cfg.visualize_chain_epochs=0",
+        "model.diffusion_cfg.num_visualization_samples=1",
+        "datamodule.dataloader_cfg.batch_size=4",
+        "trainer.early_stopping_monitor=",
+        f"--workdir={workdir}",
+        "--max-epochs=1",
+        "--max-steps=2",
+    ])
+    with open(os.path.join(workdir, "metrics.csv")) as f:
+        rows = list(csv.DictReader(f))
+    stab = [r for r in rows if r.get("val/mol_stable")]
+    assert stab, "sampling-eval metrics not logged"
+    assert 0.0 <= float(stab[-1]["val/mol_stable"]) <= 1.0
+    media = os.path.join(workdir, "media", "epoch_0")
+    assert os.path.isdir(media) and os.listdir(media), "no viz artifacts"
+
+
 def test_early_stopping_patience(tmp_path):
     """lr=0 => the monitored val loss never improves => stop after patience
     checks (reference EarlyStopping semantics)."""
