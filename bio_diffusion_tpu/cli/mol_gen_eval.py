@@ -32,7 +32,8 @@ def main(argv=None):
     nodes_dist = nodes_distribution_for(exp)
 
     evd, params = load_model(exp, cfg.get("ckpt_path"))
-    sampler = SegmentedSampler(evd, params, mesh=inference_mesh(cfg))
+    mesh = inference_mesh(cfg)
+    sampler = SegmentedSampler(evd, params, mesh=mesh)
     rng = np.random.default_rng(exp.seed)
     key = jax.random.PRNGKey(exp.seed)
 
@@ -80,6 +81,25 @@ def main(argv=None):
             eval_step = make_eval_step(
                 nll_evd, exp.diffusion_cfg, exp.dataloader_cfg, nodes_dist.log_prob_table
             )
+            if mesh is not None:
+                # params replicated onto the mesh devices (jit refuses
+                # mixed single-device/mesh argument placements)
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                nll_params = jax.device_put(
+                    nll_params, NamedSharding(mesh, PartitionSpec())
+                )
+
+            def shard(batch):
+                # NLL passes scale out with the inference mesh too: shard
+                # divisible batches over the data axis (ragged final
+                # batches run unsharded — still correct)
+                if mesh is None or batch.x.shape[0] % mesh.shape["data"]:
+                    return batch
+                from bio_diffusion_tpu.parallel.mesh import batch_sharding
+
+                return jax.device_put(batch, batch_sharding(mesh))
+
             passes = []
             for p in range(int(cfg.get("num_test_passes", 5))):
                 losses = []
@@ -88,7 +108,8 @@ def main(argv=None):
                     rng=rng, shuffle=False, drop_last=False,
                     pad_to=datasets["test"].data["positions"].shape[1],
                 )):
-                    info = eval_step(nll_params, batch, jax.random.fold_in(key, p * 10000 + i))
+                    info = eval_step(nll_params, shard(batch),
+                                     jax.random.fold_in(key, p * 10000 + i))
                     losses.append(float(np.asarray(info["loss"])))
                 passes.append(float(np.mean(losses)))
             metrics["test_nll"] = float(np.mean(passes))
