@@ -109,6 +109,11 @@ class EquivariantVariationalDiffusion(nn.Module):
     dynamics: nn.Module
     diffusion_cfg: DiffusionConfig
     dataloader_cfg: DataloaderConfig
+    # a baked gamma(k/T) table (length T+1) overriding the schedule: used by
+    # the fast inference path to freeze a LEARNED GammaNetwork into a lookup
+    # table (sampling only ever queries gamma on the k/T grid, so the baked
+    # clone samples identically with no gamma params needed)
+    gamma_table_override: Optional[Array] = None
 
     # -- setup ------------------------------------------------------------
 
@@ -116,7 +121,10 @@ class EquivariantVariationalDiffusion(nn.Module):
         dc = self.diffusion_cfg
         assert dc.parametrization == "eps", "eps is the only supported parametrization"
         assert dc.loss_type in ("vlb", "l2")
-        if dc.noise_schedule == "learned":
+        if self.gamma_table_override is not None:
+            self.gamma_net = None
+            self.gamma_table = jnp.asarray(self.gamma_table_override, jnp.float32)
+        elif dc.noise_schedule == "learned":
             assert dc.loss_type == "vlb", "a learned schedule requires the VLB objective"
             self.gamma_net = GammaNetwork(name="gamma")
             self.gamma_table = None

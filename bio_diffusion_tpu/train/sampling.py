@@ -43,9 +43,10 @@ def build_fast_evd(evd, params, interpret: bool = False, mesh=None):
     """Clone the EVD with its dynamics replaced by the baked-weight
     pure-function fast path (models/gcpnet_fast.py) when the configuration
     supports it; the clone applies with an EMPTY variables dict.  Returns
-    None when the fast path doesn't apply (non-GCPNet dynamics, unsupported
-    module options, or a learned noise schedule whose GammaNetwork params
-    live in the EVD tree).  ``mesh``: multi-chip data-parallel sampling —
+    None when the fast path doesn't apply (non-GCPNet dynamics or
+    unsupported module options).  A LEARNED noise schedule is supported by
+    freezing the GammaNetwork into a gamma(k/T) lookup table
+    (gamma_table_override).  ``mesh``: multi-chip data-parallel sampling —
     the Pallas kernel runs per-shard under shard_map (see
     make_fast_dynamics)."""
     from bio_diffusion_tpu.models.gcpnet import GCPNetDynamics
@@ -56,8 +57,13 @@ def build_fast_evd(evd, params, interpret: bool = False, mesh=None):
         return None
     if not supports_fast_path(dyn.module_cfg, dyn.layer_cfg):
         return None
+    gamma_override = None
     if evd.diffusion_cfg.noise_schedule == "learned":
-        return None
+        # freeze the learned GammaNetwork into a gamma(k/T) lookup table:
+        # sampling only queries gamma on the k/T grid, so the baked clone
+        # (which applies with EMPTY params) samples identically
+        t_grid = jnp.arange(evd.T + 1, dtype=jnp.float32)[:, None] / evd.T
+        gamma_override = evd.apply(params, t_grid, method=evd.gamma)[:, 0]
 
     on_tpu = jax.devices()[0].platform == "tpu"
     fwd = make_fast_dynamics(
@@ -68,7 +74,8 @@ def build_fast_evd(evd, params, interpret: bool = False, mesh=None):
         interpret=interpret,
         mesh=mesh,
     )
-    return evd.clone(dynamics=FunctionDynamics(fwd))
+    return evd.clone(dynamics=FunctionDynamics(fwd),
+                     gamma_table_override=gamma_override)
 
 
 class SegmentedSampler:

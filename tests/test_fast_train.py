@@ -392,6 +392,50 @@ def test_mesh_sampling_matches_single_device():
         )
 
 
+def test_learned_schedule_fast_sampler_matches_module():
+    """A LEARNED GammaNetwork schedule no longer blocks the fast inference
+    path: build_fast_evd freezes gamma into a k/T lookup table (sampling
+    only queries the grid), and the baked sampler reproduces the module
+    path's samples."""
+    from bio_diffusion_tpu.models.diffusion import EquivariantVariationalDiffusion
+    from bio_diffusion_tpu.models.gcpnet import GCPNetDynamics
+    from bio_diffusion_tpu.train.sampling import SegmentedSampler
+
+    mc, mod, lcfg, dc, dl = _cfgs()
+    dc = DiffusionConfig(num_timesteps=10, noise_schedule="learned", loss_type="vlb")
+    module = GCPNetDynamics(mc, mod, lcfg, dc, dl, remat_interactions=False)
+    evd = EquivariantVariationalDiffusion(
+        dynamics=module, diffusion_cfg=dc, dataloader_cfg=dl
+    )
+
+    key = jax.random.PRNGKey(2)
+    b, n = 4, 6
+    sizes = jnp.array([4, 6, 5, 3])[:, None]
+    node_mask = (jnp.arange(n)[None, :] < sizes).astype(jnp.float32)
+    x0 = jax.random.normal(key, (b, n, 3)) * node_mask[..., None]
+    _, x0 = centralize(x0, node_mask)
+    oh = jax.nn.one_hot(jax.random.randint(key, (b, n), 0, 5), 5) * node_mask[..., None]
+    ch = jnp.ones((b, n, 1)) * node_mask[..., None]
+    params = evd.init(key, x0, oh, ch, node_mask, key, training=True)
+    assert "gamma" in params["params"], "learned schedule params missing"
+
+    fast = SegmentedSampler(evd, params, segment_size=4, fast="on", interpret=True)
+    assert fast.params == {}, "fast path not engaged for the learned schedule"
+    slow = SegmentedSampler(evd, params, segment_size=4, fast="off")
+
+    # gamma at the grid is IDENTICAL (same apply); the residual diff is
+    # fast-vs-module float noise amplified through the reverse trajectory
+    # of an untrained model (values ~1e4 after 10 steps)
+    xh_f = fast.run(jax.random.PRNGKey(11), node_mask)
+    xh_s = slow.run(jax.random.PRNGKey(11), node_mask)
+    np.testing.assert_allclose(xh_f, xh_s, rtol=1e-2, atol=1e-4)
+    # and the frozen table itself matches the learned gamma exactly
+    t_grid = jnp.arange(11, dtype=jnp.float32)[:, None] / 10.0
+    g_net = np.asarray(evd.apply(params, t_grid, method=evd.gamma))[:, 0]
+    g_tab = np.asarray(fast.evd.gamma_table_override)
+    np.testing.assert_allclose(g_tab, g_net, rtol=1e-7)
+
+
 def test_pallas_bwd_kernel_subtiled_large_molecules(key):
     """VERDICT r2 #6: the handwritten backward kernel covers GEOM-scale
     molecules via sub-molecule source tiling.  N=60 (padded to 64 inside the
