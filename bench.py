@@ -84,6 +84,10 @@ def run_all():
 
 def main():
     import jax
+
+    from bio_diffusion_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     workload = os.environ.get("BENCH_WORKLOAD", "qm9")

@@ -20,6 +20,9 @@ log = get_logger(__name__)
 
 def parse_cli(argv: List[str], config_name: str) -> Tuple[Dict[str, Any], Dict[str, str]]:
     """Split args into config overrides and --flags; compose the config."""
+    from bio_diffusion_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()  # every CLI reuses compiled executables
     config_dir = default_config_dir()
     overrides, flags = [], {}
     for arg in argv:

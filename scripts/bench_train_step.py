@@ -23,6 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
 
+    from bio_diffusion_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     def opt(flag, default):
         if flag in argv:
             return argv[argv.index(flag) + 1]

@@ -17,6 +17,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+from bio_diffusion_tpu.utils.compilation_cache import enable_compilation_cache
+
+# repeated suite runs on the 1-core host reuse compiled executables
+enable_compilation_cache()
+
 import numpy as np
 import pytest
 
