@@ -23,6 +23,9 @@ log = get_logger(__name__)
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    from bio_diffusion_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     config_dir = default_config_dir()
     # pull out special flags
     config_name = "train"
