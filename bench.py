@@ -87,7 +87,10 @@ def main():
 
     from bio_diffusion_tpu.utils.compilation_cache import enable_compilation_cache
 
-    enable_compilation_cache()
+    cache_dir = enable_compilation_cache()
+    if cache_dir:
+        # first(run+compile) timing is cache-deserialization on a warm cache
+        print(f"# persistent compilation cache: {cache_dir}", file=sys.stderr)
     import jax.numpy as jnp
 
     workload = os.environ.get("BENCH_WORKLOAD", "qm9")

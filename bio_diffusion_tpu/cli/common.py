@@ -114,6 +114,8 @@ def inference_mesh(cfg: Optional[Dict[str, Any]] = None):
 
 
 def _truthy(v: Any) -> bool:
+    # same allowlist as config/schema._coerce, so CLI strings and
+    # schema-typed bools parse identically
     if isinstance(v, str):
-        return v.lower() not in ("false", "0", "no", "off")
+        return v.lower() in ("1", "true", "yes", "on")
     return bool(v)

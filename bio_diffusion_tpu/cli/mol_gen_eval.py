@@ -74,14 +74,16 @@ def main(argv=None):
                 # from the f32 module path at ~1e-3 level
                 from bio_diffusion_tpu.train.sampling import build_fast_evd
 
-                fast = build_fast_evd(evd, params)
+                fast = build_fast_evd(evd, params, mesh=mesh)
                 if fast is not None:
                     nll_evd, nll_params = fast, {}
                     log.info("NLL evaluation using the fast inference path")
             eval_step = make_eval_step(
                 nll_evd, exp.diffusion_cfg, exp.dataloader_cfg, nodes_dist.log_prob_table
             )
-            if mesh is not None:
+            from bio_diffusion_tpu.parallel.mesh import shard_batch
+
+            if mesh is not None and nll_params:
                 # params replicated onto the mesh devices (jit refuses
                 # mixed single-device/mesh argument placements)
                 from jax.sharding import NamedSharding, PartitionSpec
@@ -91,14 +93,8 @@ def main(argv=None):
                 )
 
             def shard(batch):
-                # NLL passes scale out with the inference mesh too: shard
-                # divisible batches over the data axis (ragged final
-                # batches run unsharded — still correct)
-                if mesh is None or batch.x.shape[0] % mesh.shape["data"]:
-                    return batch
-                from bio_diffusion_tpu.parallel.mesh import batch_sharding
-
-                return jax.device_put(batch, batch_sharding(mesh))
+                # NLL passes scale out with the inference mesh too
+                return shard_batch(mesh, batch)
 
             passes = []
             for p in range(int(cfg.get("num_test_passes", 5))):

@@ -161,6 +161,15 @@ class EquivariantVariationalDiffusion(nn.Module):
         """gamma(t) for normalized t in [0, 1]; shape-preserving ([B, 1])."""
         if self.gamma_net is not None:
             return self.gamma_net(t)
+        if self.gamma_table_override is not None:
+            # baked LEARNED schedule: linearly interpolate between grid
+            # points so off-grid queries (sampling with num_timesteps that
+            # does not divide T) track the continuous GammaNetwork instead
+            # of snapping to the nearest k/T
+            tf = jnp.clip(t, 0.0, 1.0) * self.T
+            lo = jnp.clip(jnp.floor(tf).astype(jnp.int32), 0, self.T - 1)
+            frac = tf - lo.astype(tf.dtype)
+            return self.gamma_table[lo] * (1.0 - frac) + self.gamma_table[lo + 1] * frac
         t_int = jnp.clip(jnp.round(t * self.T).astype(jnp.int32), 0, self.T)
         return self.gamma_table[t_int]
 

@@ -91,6 +91,19 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def shard_batch(mesh: Optional[Mesh], batch):
+    """Place a batch pytree on the mesh: leading dim over 'data' when
+    divisible, else fully replicated (ragged drop_last=False final batches
+    — still correct, just not batch-parallel).  No-op without a mesh.
+    Shared by the Trainer and the eval CLI so the divisibility/ragged
+    conventions cannot diverge."""
+    if mesh is None:
+        return batch
+    leading = jax.tree.leaves(batch)[0].shape[0]
+    bs = batch_sharding(mesh) if leading % mesh.shape["data"] == 0 else NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, bs) if x is not None else None, batch)
+
+
 def param_sharding_rules(params, mesh: Mesh) -> object:
     """FSDP-style parameter shardings: shard the largest dim of each leaf
     over the 'model' axis when divisible, else replicate."""

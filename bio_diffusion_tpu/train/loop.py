@@ -176,19 +176,9 @@ class Trainer:
         )
 
     def _shard(self, batch):
-        if self.mesh is None:
-            return batch
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from bio_diffusion_tpu.parallel.mesh import shard_batch
 
-        from bio_diffusion_tpu.parallel.mesh import batch_sharding
-
-        # ragged final batches (val/test, drop_last=False) fall back to
-        # replication — still correct, just not batch-parallel
-        if batch.x.shape[0] % self.mesh.shape["data"] == 0:
-            bs = batch_sharding(self.mesh)
-        else:
-            bs = NamedSharding(self.mesh, P())
-        return jax.tree.map(lambda x: jax.device_put(x, bs) if x is not None else None, batch)
+        return shard_batch(self.mesh, batch)
 
     def init_state(self, resume: bool = True):
         exp = self.exp

@@ -158,12 +158,28 @@ class SegmentedSampler:
         denom = float(evd.T if norm_with_original_timesteps else T_s)
         fix_sc = fix_noise if self.self_condition else False
 
-        if self.mesh is not None and node_mask.shape[0] % self.mesh.shape["data"] == 0:
+        b_orig = node_mask.shape[0]
+        if self.mesh is not None:
             # shard the batch over the data axis; GSPMD partitions
-            # everything downstream from these input shardings.  Ragged
-            # batches (final drop_last=False batch) stay unsharded —
-            # single-device execution, still correct.
+            # everything downstream from these input shardings.  Batches
+            # not divisible by the data axis are PADDED with copies of the
+            # first molecule (sliced off at the end), so sharding — and the
+            # per-shard Pallas kernel — is kept for every batch size, not
+            # just multiples of the device count.
             from bio_diffusion_tpu.parallel.mesh import batch_sharding
+
+            dp = int(self.mesh.shape["data"])
+            pad = (-b_orig) % dp
+
+            def pad_rows(a):
+                if pad == 0 or a is None:
+                    return a
+                reps = (pad,) + (1,) * (a.ndim - 1)
+                return jnp.concatenate([a, jnp.tile(a[:1], reps)], axis=0)
+
+            node_mask = pad_rows(node_mask)
+            context = pad_rows(context)
+            z_init = pad_rows(z_init)
 
             bs = batch_sharding(self.mesh)
             node_mask = jax.device_put(node_mask, bs)
@@ -171,6 +187,21 @@ class SegmentedSampler:
                 context = jax.device_put(context, bs)
             if z_init is not None:
                 z_init = jax.device_put(z_init, bs)
+            leaves = jax.tree.leaves(self.params)
+            if leaves:
+                # non-baked paths: params must live on the mesh's device set
+                # (jit refuses mixed placements).  Params already on the mesh
+                # (e.g. the Trainer's FSDP-sharded EMA params) are left as-is.
+                cur = getattr(leaves[0], "sharding", None)
+                on_mesh = cur is not None and set(cur.device_set) == set(
+                    self.mesh.devices.flat
+                )
+                if not on_mesh:
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    self.params = jax.device_put(
+                        self.params, NamedSharding(self.mesh, PartitionSpec())
+                    )
 
         key, k_init = jax.random.split(key)
         if z_init is None:
@@ -194,7 +225,7 @@ class SegmentedSampler:
         key, k_dec = jax.random.split(key)
         fix_final = fix_sc if self.self_condition else fix_noise
         xh = self._decode_fn(self.params, z, self_cond, k_dec, node_mask, context, fix_final)
-        return np.asarray(xh)
+        return np.asarray(xh)[:b_orig]
 
 
 def make_node_mask(num_nodes: Sequence[int], pad_to: Optional[int] = None) -> np.ndarray:

@@ -25,7 +25,11 @@ def main(argv=None):
 
     from bio_diffusion_tpu.utils.compilation_cache import enable_compilation_cache
 
-    enable_compilation_cache()
+    cache_dir = enable_compilation_cache()
+    if cache_dir:
+        # compile= figures below are cache-DESERIALIZATION time on a warm
+        # cache; set JAX_COMPILATION_CACHE_DIR= (empty) for cold numbers
+        print(f"# persistent compilation cache: {cache_dir}", file=sys.stderr)
 
     def opt(flag, default):
         if flag in argv:

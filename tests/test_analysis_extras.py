@@ -66,10 +66,11 @@ def test_qm_recompute_directory_aggregates(tmp_path, monkeypatch):
     for i, name in enumerate(["b.xyz", "a.xyz"]):
         (tmp_path / name).write_text("1\ncomment\nC 0.0 0.0 0.0\n")
     monkeypatch.setattr(
-        qm, "compute_polarizability_psi4", lambda path: float(len(os.path.basename(path)))
+        qm, "compute_polarizability_psi4",
+        lambda path: float(ord(os.path.basename(path)[0])),
     )
     vals = qm.recompute_directory(str(tmp_path), method="psi4")
-    assert vals == [5.0, 5.0]  # a.xyz then b.xyz (sorted)
+    assert vals == [97.0, 98.0]  # a.xyz then b.xyz — proves sorted order
 
 
 def test_load_molecule_xyz(tmp_path):

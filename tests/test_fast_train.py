@@ -382,14 +382,22 @@ def test_mesh_sampling_matches_single_device():
                               mesh=make_mesh(data=8, model=1))
     assert single.params == {} and meshed.params == {}, "fast path not engaged"
 
-    for bb in (8, 6):
-        m = node_mask[:bb]
-        xh_s = single.run(jax.random.PRNGKey(9), m)
-        xh_m = meshed.run(jax.random.PRNGKey(9), m)
-        np.testing.assert_allclose(
-            xh_m, xh_s, rtol=1e-5, atol=1e-6,
-            err_msg=f"mesh sampling mismatch at batch {bb}",
-        )
+    # divisible batch: shard_map kernel per shard, exact same RNG stream
+    xh_s = single.run(jax.random.PRNGKey(9), node_mask)
+    xh_m = meshed.run(jax.random.PRNGKey(9), node_mask)
+    np.testing.assert_allclose(xh_m, xh_s, rtol=1e-5, atol=1e-6,
+                               err_msg="mesh sampling mismatch at batch 8")
+
+    # ragged batch (B=6): run() pads with copies of molecule 0 up to the
+    # device multiple and slices back — identical to a single-device run of
+    # that same padded batch
+    m6 = node_mask[:6]
+    padded = jnp.concatenate([m6, jnp.tile(m6[:1], (2, 1))], axis=0)
+    xh_m6 = meshed.run(jax.random.PRNGKey(9), m6)
+    xh_ref = single.run(jax.random.PRNGKey(9), padded)[:6]
+    assert xh_m6.shape[0] == 6
+    np.testing.assert_allclose(xh_m6, xh_ref, rtol=1e-5, atol=1e-6,
+                               err_msg="mesh sampling mismatch at ragged batch 6")
 
 
 def test_learned_schedule_fast_sampler_matches_module():
