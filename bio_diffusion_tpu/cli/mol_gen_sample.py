@@ -67,11 +67,23 @@ def main(argv=None):
         x0 = jnp.zeros((num_samples, pad, 3))
         h0c = jnp.zeros((num_samples, pad, k))
         h0i = jnp.zeros((num_samples, pad, 1))
-        xh = evd.apply(
-            params, key, x0, h0c, h0i, node_mask, jnp.asarray(fixed),
-            int(cfg.get("num_resamplings", 1)), int(cfg.get("jump_length", 1)),
-            num_timesteps, method=evd.inpaint,
-        )
+        # inpainting rides the baked fast path (Pallas kernels) when the
+        # config supports it, under one jit; module-path fallback otherwise
+        from bio_diffusion_tpu.train.sampling import build_fast_evd
+
+        fast = build_fast_evd(evd, params, mesh=inference_mesh(cfg))
+        inp_evd, inp_params = (fast, {}) if fast is not None else (evd, params)
+        n_res = int(cfg.get("num_resamplings", 1))
+        jump = int(cfg.get("jump_length", 1))
+
+        @jax.jit
+        def run_inpaint(p, k):
+            return inp_evd.apply(
+                p, k, x0, h0c, h0i, node_mask, jnp.asarray(fixed),
+                n_res, jump, num_timesteps, method=inp_evd.inpaint,
+            )
+
+        xh = run_inpaint(inp_params, key)
         xh, node_mask = np.asarray(xh), np.asarray(node_mask)
     elif ddpm_mode == "chain":
         # denoising-chain visualization (reference sample_chain_and_save,
