@@ -139,9 +139,15 @@ def main(argv=None):
         )
     classify = jax.jit(lambda p, h, x, m: classifier.apply(p, h, x, m))
 
+    # the re-noise/denoise round trips ride the baked fast path (Pallas
+    # kernels on TPU, mesh-aware) when the conditional config supports it
+    from bio_diffusion_tpu.train.sampling import build_fast_evd
+
+    fast_c = build_fast_evd(evd_c, params_c, mesh=inference_mesh(cfg))
+    opt_evd, opt_params = (fast_c, {}) if fast_c is not None else (evd_c, params_c)
     optimize = jax.jit(
-        lambda p, k, x, h, m, ctx: evd_c.apply(
-            p, k, x, h, m, num_opt_timesteps, ctx, method=evd_c.mol_gen_optimize
+        lambda p, k, x, h, m, ctx: opt_evd.apply(
+            p, k, x, h, m, num_opt_timesteps, ctx, method=opt_evd.mol_gen_optimize
         )
     )
 
@@ -166,7 +172,7 @@ def main(argv=None):
         results = []
         for start in range(0, len(x0), batch_size):
             sl = slice(start, min(start + batch_size, len(x0)))
-            out = optimize(params_c, jax.random.fold_in(k, start),
+            out = optimize(opt_params, jax.random.fold_in(k, start),
                            x_cur[sl], oh_cur[sl], node_mask[sl], context[sl])
             results.append(np.asarray(out))
         out = np.concatenate(results)
