@@ -90,3 +90,18 @@ def test_sample_cli_chain_mode(tmp_path):
     assert len(frames) == 15
     gifs = [f for root, _, fs in os.walk(out_dir) for f in fs if f.endswith(".gif")]
     assert len(gifs) == 1
+
+
+def test_inference_mesh_toggle():
+    """use_mesh parses with the schema's bool allowlist: default on (8
+    virtual devices here), any non-allowlisted string (incl. typos) is
+    false -> single-device."""
+    from bio_diffusion_tpu.cli.common import inference_mesh
+
+    assert inference_mesh({}) is not None
+    assert inference_mesh({"use_mesh": True}) is not None
+    assert inference_mesh({"use_mesh": "false"}) is None
+    assert inference_mesh({"use_mesh": False}) is None
+    assert inference_mesh({"use_mesh": "flase"}) is None  # typo != enabled
+    mesh = inference_mesh(None)
+    assert mesh is not None and mesh.shape["data"] == 8
