@@ -96,13 +96,18 @@ def main(argv=None):
         )
         node_mask = jnp.asarray(make_node_mask(sizes, int(sizes.max())))
         T_s = num_timesteps or evd.T
+        # single molecule: baked fast path when supported (no mesh — B=1)
+        from bio_diffusion_tpu.train.sampling import build_fast_evd
+
+        fast = build_fast_evd(evd, params)
+        ch_evd, ch_params = (fast, {}) if fast is not None else (evd, params)
         chain_fn = jax.jit(
-            lambda p, k, m: evd.apply(
+            lambda p, k, m: ch_evd.apply(
                 p, k, m, num_timesteps=T_s, return_frames=T_s,
-                method=evd.mol_gen_sample,
+                method=ch_evd.mol_gen_sample,
             )
         )
-        xh, frames = chain_fn(params, key, node_mask)
+        xh, frames = chain_fn(ch_params, key, node_mask)
         xh, frames, node_mask = np.asarray(xh), np.asarray(frames), np.asarray(node_mask)
 
         from bio_diffusion_tpu.chem.visualization import save_chain_frames, visualize_chain
