@@ -93,7 +93,9 @@ def main(argv=None):
     batch_size = int(cfg.get("batch_size", 100))
     iterations = int(cfg.get("iterations", 100))
 
-    if str(cfg.get("task", "edm")) == "qualitative":
+    # the reference selects sweep mode with sweep_property_values=true
+    # (ref mol_gen_eval_conditional_qm9.py:271-283); accepted as an alias
+    if str(cfg.get("task", "edm")) == "qualitative" or bool(cfg.get("sweep_property_values", False)):
         # property sweep with FIXED noise: a linspace of property values over
         # 19-node molecules, visualized as a chain GIF (reference
         # sample_sweep_conditionally, models/__init__.py:201-261)

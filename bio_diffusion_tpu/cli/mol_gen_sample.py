@@ -36,6 +36,13 @@ log = get_logger(__name__)
 
 def main(argv=None):
     cfg, flags = parse_cli(list(sys.argv[1:] if argv is None else argv), "mol_gen_sample")
+    # reference arg names accepted as aliases (ref mol_gen_sample.py:173-177);
+    # they are absent from the YAML defaults, so their presence means the user
+    # passed them: all_frags=X <=> largest_frag=(not X); relax=true <=> relax_iter=200
+    if "all_frags" in cfg:
+        cfg["largest_frag"] = not bool(cfg["all_frags"])
+    if cfg.get("relax") and not cfg.get("relax_iter"):
+        cfg["relax_iter"] = 200
     exp = build_experiment(cfg)
     dataset_info = get_dataset_info_for(exp)
     nodes_dist = nodes_distribution_for(exp)
