@@ -1,0 +1,135 @@
+"""Serving subsystem tests: MoleculeServer micro-batching + the HTTP CLI.
+
+The serving layer is an addition over the reference (whose inference entry
+points are one-shot scripts); these tests pin its contracts: fixed compiled
+shapes, request coalescing, seeded-request determinism, and the HTTP API.
+"""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+TINY = [
+    "datamodule.dataloader_cfg.dataset=synthetic",
+    "model.model_cfg.h_hidden_dim=16",
+    "model.model_cfg.chi_hidden_dim=4",
+    "model.model_cfg.e_hidden_dim=8",
+    "model.model_cfg.xi_hidden_dim=2",
+    "model.model_cfg.num_encoder_layers=1",
+    "model.diffusion_cfg.num_timesteps=10",
+]
+
+
+@pytest.fixture(scope="module")
+def server():
+    from bio_diffusion_tpu.cli.common import default_config_dir
+    from bio_diffusion_tpu.cli.serve import build_server
+    from bio_diffusion_tpu.config.loader import load_config
+
+    cfg = load_config(
+        default_config_dir(), "serve",
+        TINY + ["serving_batch_size=2", "buckets=[6]", "use_mesh=false",
+                "max_wait_ms=300"],
+    )
+    srv = build_server(cfg)
+    yield srv
+    srv.close()
+
+
+def test_generate_basic(server):
+    out = server.generate(3, num_nodes=6)
+    assert out["num_molecules"] == 3
+    for mol in out["molecules"]:
+        assert mol["size"] == 6
+        assert len(mol["atoms"]) == 6
+        assert np.asarray(mol["positions"]).shape == (6, 3)
+        assert isinstance(mol["stable"], bool)
+    # 3 jobs at batch_size=2 -> 2 device batches
+    assert server.stats["batches"] >= 2
+
+
+def test_concurrent_requests_coalesce(server):
+    before = dict(server.stats)
+    results = [None, None]
+
+    def call(i):
+        results[i] = server.generate(1, num_nodes=6)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r["num_molecules"] == 1 for r in results)
+    jobs = server.stats["batched_jobs"] - before["batched_jobs"]
+    batches = server.stats["batches"] - before["batches"]
+    assert jobs == 2
+    # with a 300 ms linger on a warm executable the two 1-molecule requests
+    # share one device batch
+    assert batches == 1
+
+
+def test_seeded_request_is_deterministic(server):
+    a = server.generate(2, num_nodes=6, seed=5)
+    b = server.generate(2, num_nodes=6, seed=5)
+    for ma, mb in zip(a["molecules"], b["molecules"]):
+        assert ma["atoms"] == mb["atoms"]
+        np.testing.assert_allclose(ma["positions"], mb["positions"], atol=1e-6)
+
+
+def test_sampled_sizes_and_describe(server):
+    out = server.generate(2)  # sizes drawn from the nodes distribution
+    assert all(1 <= m["size"] <= 29 for m in out["molecules"])
+    desc = server.describe()
+    assert desc["status"] == "ok"
+    assert desc["batch_size"] == 2
+    assert desc["stats"]["molecules"] >= 9
+    assert desc["stats"]["avg_batch_occupancy"] > 0
+
+
+def test_http_server_roundtrip():
+    from bio_diffusion_tpu.cli.serve import main
+
+    httpd, server = main(TINY + [
+        "serving_batch_size=2", "buckets=[6]", "use_mesh=false",
+        "warmup=false", "port=0", "host=127.0.0.1", "--background=thread",
+    ])
+    try:
+        port = httpd.server_address[1]
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["batch_size"] == 2
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"num_samples": 2, "num_nodes": 6, "seed": 1}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            out = json.loads(r.read())
+        assert out["num_molecules"] == 2
+        assert len(out["molecules"][0]["atoms"]) == 6
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/nope") as r:
+            pass
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+    finally:
+        httpd.shutdown()
+        server.close()
+
+
+def test_serve_rejects_conditional_models():
+    from bio_diffusion_tpu.cli.common import default_config_dir
+    from bio_diffusion_tpu.cli.serve import build_server
+    from bio_diffusion_tpu.config.loader import load_config
+
+    cfg = load_config(
+        default_config_dir(), "serve",
+        TINY + ["model.module_cfg.conditioning=[alpha]"],
+    )
+    with pytest.raises(ValueError, match="unconditional"):
+        build_server(cfg)
