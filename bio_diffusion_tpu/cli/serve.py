@@ -53,6 +53,7 @@ def build_server(cfg) -> MoleculeServer:
         max_wait_ms=float(cfg.get("max_wait_ms", 5.0)),
         mesh=inference_mesh(cfg),
         seed=int(cfg.get("seed", 0)),
+        max_request_mols=int(cfg.get("max_request_mols", 10_000)),
     )
 
 
@@ -90,8 +91,12 @@ def make_handler(server: MoleculeServer):
                     timeout=float(req.get("timeout_s", 600.0)),
                 )
                 self._send(200, out)
-            except Exception as e:  # noqa: BLE001 — report to the client
+            except (ValueError, TypeError, KeyError, json.JSONDecodeError) as e:
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
+            except TimeoutError as e:
+                self._send(503, {"error": f"TimeoutError: {e}"})
+            except Exception as e:  # noqa: BLE001 — server-side fault
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
     return Handler
 

@@ -20,8 +20,9 @@ generation requests continuously:
     chips (the same data-parallel path as the inference CLIs).
 
 Determinism contract: a request with an explicit ``seed`` is executed solo
-(never coalesced with other requests) so its molecules are reproducible;
-seedless requests share batches and draw from the server RNG stream.
+(never coalesced with other requests) and draws its molecule sizes from the
+request seed, so its molecules are fully reproducible; seedless requests
+share batches and draw from the server RNG stream.
 
 The HTTP front-end (stdlib ThreadingHTTPServer) lives in
 ``cli/serve.py``; this module is transport-agnostic.
@@ -97,6 +98,7 @@ class MoleculeServer:
         mesh=None,
         seed: int = 0,
         segment_size: int = 250,
+        max_request_mols: int = 10_000,
     ):
         self.dataset_info = ensure_bond_tables(dict(dataset_info))
         self.nodes_dist = nodes_dist
@@ -105,15 +107,15 @@ class MoleculeServer:
         self.default_T = num_timesteps
         max_n = int(dataset_info["max_n_nodes"])
         if buckets is None:
-            buckets = sorted({min(b, max_n) for b in range(4, max_n + 4, 4)})
-        self.buckets = [int(b) for b in buckets]
+            buckets = {min(b, max_n) for b in range(4, max_n + 4, 4)}
+        self.buckets = sorted(int(b) for b in buckets)
         self.include_charges = getattr(evd.dataloader_cfg, "include_charges", True)
 
         self.sampler = SegmentedSampler(evd, params, segment_size=segment_size, mesh=mesh)
         self._rng = np.random.default_rng(seed)
         self._rng_lock = threading.Lock()  # generate() is called from transport threads
         self._key = jax.random.PRNGKey(seed)
-        self._batch_counter = 0
+        self.max_request_mols = int(max_request_mols)
 
         self._queue: "queue.Queue[_Job]" = queue.Queue()
         self._running = True
@@ -143,6 +145,16 @@ class MoleculeServer:
         self._running = False
         self._queue.put(None)  # wake the executor
         self._executor.join(timeout=10)
+        # fail any jobs still queued so blocked generate() callers return
+        err = RuntimeError("server closed")
+        while True:
+            try:
+                job = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if job is not None and not job.done.is_set():
+                job.error = err
+                job.done.set()
 
     # --------------------------------------------------------------- serving
     def generate(
@@ -159,12 +171,27 @@ class MoleculeServer:
         device batches (unless ``seed`` is given — see module docstring).
         """
         t0 = time.time()
+        num_samples = int(num_samples)
+        if not 1 <= num_samples <= self.max_request_mols:
+            raise ValueError(
+                f"num_samples must be in [1, {self.max_request_mols}], got {num_samples}"
+            )
         if num_nodes:
+            if int(num_nodes) > self.buckets[-1]:
+                raise ValueError(
+                    f"num_nodes={num_nodes} exceeds the largest compiled "
+                    f"bucket ({self.buckets[-1]})"
+                )
             sizes = np.full(num_samples, int(num_nodes), dtype=np.int64)
+        elif seed is not None:
+            # seeded requests must be fully reproducible: sizes come from the
+            # request seed, not the shared (traffic-dependent) server stream
+            sizes = self.nodes_dist.sample(num_samples, np.random.default_rng(seed))
         else:
             with self._rng_lock:
                 sizes = self.nodes_dist.sample(num_samples, self._rng)
-        # molecule size is capped by the largest compiled bucket
+        # distribution-drawn size can exceed the largest compiled bucket
+        # when the server was configured with a partial ladder
         sizes = np.minimum(sizes, self.buckets[-1])
         T = int(num_timesteps) if num_timesteps else self.default_T
         jobs = [_Job(size=int(s), num_timesteps=T, seed=seed) for s in sizes]
@@ -186,7 +213,7 @@ class MoleculeServer:
         return {
             "molecules": mols,
             "num_molecules": len(mols),
-            "mol_stable_frac": float(np.mean([m["stable"] for m in mols])),
+            "mol_stable_frac": float(np.mean([m["stable"] for m in mols])) if mols else 0.0,
             "elapsed_s": round(time.time() - t0, 4),
         }
 
@@ -203,18 +230,25 @@ class MoleculeServer:
                     # enqueued together; drain the rest from the queue)
                     batch = [j for j in job.group if not j.done.is_set()]
                     remaining = set(id(j) for j in batch if j is not job)
+                    deferred = []
                     while remaining:
                         nxt = self._queue.get()
                         if nxt is None:
+                            self._queue.put(None)  # keep the shutdown sentinel
                             break
                         if id(nxt) in remaining:
                             remaining.discard(id(nxt))
                         else:
-                            self._queue.put(nxt)  # not ours: re-enqueue
+                            deferred.append(nxt)  # not ours: hand back after
+                    for d in deferred:
+                        self._queue.put(d)
                     self._execute(batch, key=jax.random.PRNGKey(int(job.seed)))
                     continue
-                # micro-batch: linger up to max_wait_s for co-batchable jobs
+                # micro-batch: linger up to max_wait_s for co-batchable jobs;
+                # non-co-batchable jobs (other T / seeded) are set aside, not
+                # a reason to stop filling the batch
                 deadline = time.time() + self.max_wait_s
+                deferred = []
                 while len(batch) < self.batch_size:
                     t_left = deadline - time.time()
                     if t_left <= 0:
@@ -224,11 +258,14 @@ class MoleculeServer:
                     except queue.Empty:
                         break
                     if nxt is None:
+                        self._queue.put(None)
                         break
                     if nxt.group is not None or nxt.num_timesteps != job.num_timesteps:
-                        self._queue.put(nxt)  # different compiled shape/mode
-                        break
+                        deferred.append(nxt)
+                        continue
                     batch.append(nxt)
+                for d in deferred:
+                    self._queue.put(d)
                 self._key, k = jax.random.split(self._key)
                 self._execute(batch, key=k)
             except BaseException as e:  # noqa: BLE001 — propagate to waiters

@@ -33,6 +33,8 @@ def main():
     nodes = int(os.environ.get("SERVE_NODES", 19))
     n_requests = int(os.environ.get("SERVE_REQUESTS", 8))
     concurrency = int(os.environ.get("SERVE_CONCURRENCY", 4))
+    if n_requests < concurrency:
+        raise SystemExit(f"SERVE_REQUESTS ({n_requests}) must be >= SERVE_CONCURRENCY ({concurrency})")
     mols_per_request = int(os.environ.get("SERVE_REQ_MOLS", batch))
 
     cfg = load_config(default_config_dir(), "serve", [

@@ -81,13 +81,31 @@ def test_seeded_request_is_deterministic(server):
 
 
 def test_sampled_sizes_and_describe(server):
+    before = server.describe()["stats"]["molecules"]
     out = server.generate(2)  # sizes drawn from the nodes distribution
-    assert all(1 <= m["size"] <= 29 for m in out["molecules"])
+    # sizes are capped by the largest compiled bucket (6 here)
+    assert all(1 <= m["size"] <= 6 for m in out["molecules"])
     desc = server.describe()
     assert desc["status"] == "ok"
     assert desc["batch_size"] == 2
-    assert desc["stats"]["molecules"] >= 9
+    assert desc["stats"]["molecules"] == before + 2
     assert desc["stats"]["avg_batch_occupancy"] > 0
+
+
+def test_request_validation(server):
+    with pytest.raises(ValueError, match="num_samples"):
+        server.generate(0)
+    with pytest.raises(ValueError, match="exceeds the largest"):
+        server.generate(1, num_nodes=40)
+
+
+def test_seeded_without_num_nodes_is_deterministic(server):
+    a = server.generate(2, seed=11)
+    b = server.generate(2, seed=11)
+    assert [m["size"] for m in a["molecules"]] == [m["size"] for m in b["molecules"]]
+    for ma, mb in zip(a["molecules"], b["molecules"]):
+        assert ma["atoms"] == mb["atoms"]
+        np.testing.assert_allclose(ma["positions"], mb["positions"], atol=1e-6)
 
 
 def test_http_server_roundtrip():
