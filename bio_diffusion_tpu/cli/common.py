@@ -19,7 +19,12 @@ log = get_logger(__name__)
 
 
 def parse_cli(argv: List[str], config_name: str) -> Tuple[Dict[str, Any], Dict[str, str]]:
-    """Split args into config overrides and --flags; compose the config."""
+    """Split args into config overrides and --flags; compose the config.
+
+    ``--help`` prints the entry point's docstring plus the composed default
+    config (every key is overridable as ``key=value``), mirroring the
+    reference's advertised ``python3 src/<entry>.py --help`` (README.md:139).
+    """
     from bio_diffusion_tpu.utils.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()  # every CLI reuses compiled executables
@@ -35,8 +40,30 @@ def parse_cli(argv: List[str], config_name: str) -> Tuple[Dict[str, Any], Dict[s
                 config_name = v
         else:
             overrides.append(arg)
+    if "help" in flags or "-h" in overrides:
+        _print_help(config_dir, config_name)
+        raise SystemExit(0)
     cfg = load_config(config_dir, config_name, overrides)
     return cfg, flags
+
+
+def _print_help(config_dir: str, config_name: str) -> None:
+    import inspect
+    import sys as _sys
+
+    import yaml
+
+    # the calling entry-point module's docstring is the usage text
+    for frame in inspect.stack()[2:]:
+        doc = frame.frame.f_globals.get("__doc__")
+        mod = frame.frame.f_globals.get("__name__", "")
+        if doc and (mod == "__main__" or mod.startswith("bio_diffusion_tpu.cli")):
+            print(doc.strip(), file=_sys.stdout)
+            break
+    print(f"\nDefault config ({config_name}.yaml; any key is a 'key=value' override,"
+          f"\ngroups like datamodule/model/logger/experiment re-select group files):\n")
+    cfg = load_config(config_dir, config_name, [])
+    print(yaml.safe_dump(cfg, default_flow_style=False, sort_keys=False))
 
 
 def init_params(exp: ExperimentConfig, evd) -> Any:

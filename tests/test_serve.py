@@ -140,6 +140,17 @@ def test_http_server_roundtrip():
         server.close()
 
 
+def test_cli_help_flag(capsys):
+    from bio_diffusion_tpu.cli.mol_gen_sample import main as sample_main
+
+    with pytest.raises(SystemExit) as e:
+        sample_main(["--help"])
+    assert e.value.code == 0
+    out = capsys.readouterr().out
+    assert "Molecule sampling entry point" in out  # module docstring
+    assert "ckpt_path" in out and "num_samples" in out  # composed defaults
+
+
 def test_serve_rejects_conditional_models():
     from bio_diffusion_tpu.cli.common import default_config_dir
     from bio_diffusion_tpu.cli.serve import build_server
