@@ -115,6 +115,18 @@ def main(argv=None):
 
     out_dir = str(cfg.get("output_dir", "outputs/mol_gen_eval"))
     os.makedirs(out_dir, exist_ok=True)
+    if cfg.get("save_molecules", False):
+        # the reference's save_molecules=True keeps the sampled set for the
+        # offline analysis stage (obabel/PoseBusters; ref mol_gen_eval.py
+        # output + analysis/molecule_analysis.py)
+        from bio_diffusion_tpu.chem.molecule import save_xyz_files
+
+        k = len(dataset_info["atom_decoder"])
+        files = save_xyz_files(
+            os.path.join(out_dir, "molecules"), xh[..., :3], xh[..., 3:3 + k],
+            node_mask, dataset_info,
+        )
+        log.info(f"Saved {len(files)} sampled molecules")
     with open(os.path.join(out_dir, "eval_results.json"), "w") as f:
         json.dump(metrics, f, indent=2)
     log.info(f"Evaluation metrics: {metrics}")

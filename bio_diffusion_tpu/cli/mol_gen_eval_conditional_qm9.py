@@ -148,6 +148,19 @@ def main(argv=None):
         mae = float(np.abs(mad * pred + mean - target).mean())
         maes.append(mae)
         log.info(f"iteration {it + 1}/{iterations}: MAE={mae:.4f} (running {np.mean(maes):.4f})")
+        if cfg.get("save_molecules", False):
+            # keep the generated set for offline analysis (reference
+            # mol_gen_eval_conditional_qm9.py save_molecules=True)
+            from bio_diffusion_tpu.chem.molecule import save_xyz_files
+            from bio_diffusion_tpu.config.build import get_dataset_info_for
+
+            dataset_info = get_dataset_info_for(exp)
+            save_xyz_files(
+                os.path.join(str(cfg.get("output_dir",
+                                         "outputs/mol_gen_eval_conditional_qm9")),
+                             "molecules", f"iteration_{it}"),
+                x, one_hot, np.asarray(node_mask), dataset_info,
+            )
 
     result = {"property": prop, "mae": float(np.mean(maes)), "mae_per_iteration": maes}
     out_dir = str(cfg.get("output_dir", "outputs/mol_gen_eval_conditional_qm9"))
