@@ -151,6 +151,26 @@ def test_cli_help_flag(capsys):
     assert "ckpt_path" in out and "num_samples" in out  # composed defaults
 
 
+def test_serve_with_mesh():
+    # data-parallel serving over the 8 virtual CPU devices (conftest)
+    from bio_diffusion_tpu.cli.common import default_config_dir
+    from bio_diffusion_tpu.cli.serve import build_server
+    from bio_diffusion_tpu.config.loader import load_config
+
+    cfg = load_config(
+        default_config_dir(), "serve",
+        TINY + ["serving_batch_size=8", "buckets=[6]", "use_mesh=true"],
+    )
+    srv = build_server(cfg)
+    try:
+        assert srv.sampler.mesh is not None
+        out = srv.generate(3, num_nodes=6)
+        assert out["num_molecules"] == 3
+        assert all(len(m["atoms"]) == 6 for m in out["molecules"])
+    finally:
+        srv.close()
+
+
 def test_serve_rejects_conditional_models():
     from bio_diffusion_tpu.cli.common import default_config_dir
     from bio_diffusion_tpu.cli.serve import build_server
