@@ -1,6 +1,7 @@
 """Headline benchmark: unconditional reverse-diffusion sampling throughput.
 
-Workloads (BENCH_WORKLOAD=qm9|geom|qm9_eval, default qm9):
+Workloads (BENCH_WORKLOAD=qm9|geom|qm9_eval|qm9_cond, default qm9;
+BENCH_ALL=1 runs every workload and emits the full table in one line):
 
   qm9  — 250 molecules x 1000 denoise steps, 19 atoms, 9-layer GCPNet.
          Reference: ~5 min on one CUDA GPU == ~833 denoiser evals/s
@@ -20,7 +21,8 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/baseline}
 
 Env knobs:
-  BENCH_WORKLOAD (qm9|geom|qm9_eval), BENCH_STEPS (default 1000),
+  BENCH_WORKLOAD (qm9|geom|qm9_eval|qm9_cond), BENCH_ALL (=1: full table),
+  BENCH_STEPS (default 1000),
   BENCH_BATCH (250), BENCH_NODES (19 qm9 / 44 geom), BENCH_PRECISION
   (f32|bf16, default bf16), BENCH_REPEATS (default 1), BENCH_SEGMENT
   (scan segment size, default 250), BENCH_SAMPLES (qm9_eval, default 1000).
