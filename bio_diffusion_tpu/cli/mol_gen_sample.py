@@ -2,10 +2,15 @@
 
 Usage:
   python -m bio_diffusion_tpu.cli.mol_gen_sample ckpt_path=... num_samples=250 \
-      [num_nodes=19] [num_timesteps=1000] [ddpm_mode=inpainting|chain] [k=v ...]
+      [num_nodes=19] [num_timesteps=1000] [ddpm_mode=inpainting|chain|pocket] [k=v ...]
 
 ``ddpm_mode=chain`` writes one molecule's denoising chain as per-frame xyz
 files + output.gif (reference sample_chain_and_save).
+
+``ddpm_mode=pocket`` generates ligands into protein pockets by RePaint
+inpainting over the joint ligand+pocket graph (use with
+``experiment=pocket_mol_gen_ddpm``; ``pocket_file=<json>`` supplies a real
+pocket, otherwise synthetic shell pockets demo the path offline).
 
 Writes per-molecule .xyz files (+ one .sdf when RDKit is available) and
 prints stability metrics of the generated batch.
@@ -56,6 +61,10 @@ def main(argv=None):
     num_timesteps = cfg.get("num_timesteps")
     num_timesteps = int(num_timesteps) if num_timesteps else None
     ddpm_mode = cfg.get("ddpm_mode", "unconditional")
+    out_dir = os.path.join(
+        str(cfg.get("output_dir", "outputs/mol_gen_sample")),
+        datetime.datetime.now().strftime("%Y%m%d_%H%M%S"),
+    )
 
     if ddpm_mode == "inpainting":
         # fix the first node of each molecule at the origin (reference
@@ -92,6 +101,96 @@ def main(argv=None):
 
         xh = run_inpaint(inp_params, key)
         xh, node_mask = np.asarray(xh), np.asarray(node_mask)
+    elif ddpm_mode == "pocket":
+        # pocket-conditional ligand generation (the GCDM-SBDD workload,
+        # reference README.md:302-304 / constants.py:98-1742): RePaint over
+        # the joint ligand+pocket graph with pocket rows fixed.  Pocket
+        # input: pocket_file=<json with "coords" [[x,y,z],..] and
+        # "residues" ["A","C",..]> replicated num_samples times, or
+        # synthetic shell pockets (offline demo).  pocket_size /
+        # num_nodes(ligand) override the joint-histogram sampling.
+        import json as _json
+
+        from bio_diffusion_tpu.data.pocket import (
+            get_pocket_dataset_info,
+            ligand_dataset_info,
+            sample_joint_sizes,
+            synthetic_pockets,
+        )
+        from bio_diffusion_tpu.train.sampling import generate_ligands_in_pocket
+
+        pocket_name = str(cfg.get("pocket_dataset")
+                          or (exp.dataloader_cfg.dataset
+                              if exp.dataloader_cfg.dataset
+                              in ("bindingmoad", "crossdock", "crossdock_full")
+                              else "bindingmoad"))
+        pinfo = get_pocket_dataset_info(pocket_name)
+        kl = len(pinfo["atom_decoder"])
+
+        pocket_file = cfg.get("pocket_file")
+        if pocket_file:
+            with open(str(pocket_file)) as f:
+                spec = _json.load(f)
+            px1 = np.asarray(spec["coords"], dtype=np.float32)
+            aa_enc = pinfo["aa_encoder"]
+            pa1 = np.asarray(
+                [r if isinstance(r, int) else aa_enc[str(r)] for r in spec["residues"]],
+                dtype=np.int64,
+            )
+            pocket_x = np.broadcast_to(px1, (num_samples,) + px1.shape).copy()
+            pocket_aa = np.broadcast_to(pa1, (num_samples,) + pa1.shape).copy()
+            pocket_mask = np.ones((num_samples, len(px1)), np.float32)
+            pocket_sizes = np.full(num_samples, len(px1))
+        else:
+            log.warning(
+                "No pocket_file given — generating synthetic shell pockets "
+                "(offline demo; provide pocket_file for real structures)"
+            )
+            psize = cfg.get("pocket_size")
+            if psize:
+                pocket_sizes = np.full(num_samples, int(psize))
+            else:
+                _, pocket_sizes = sample_joint_sizes(pocket_name, num_samples, rng)
+            pocket_x, pocket_aa, pocket_mask = synthetic_pockets(
+                pocket_name, pocket_sizes, rng
+            )
+
+        num_nodes = cfg.get("num_nodes")
+        if num_nodes:
+            ligand_sizes = np.full(num_samples, int(num_nodes))
+        else:
+            # ligand size conditioned on each pocket's size via the joint
+            # histogram (clamped into the histogram's column range)
+            max_col = np.asarray(pinfo["n_nodes"]).shape[1] - 1
+            ligand_sizes = np.array([
+                sample_joint_sizes(pocket_name, 1, rng,
+                                   pocket_size=int(min(s, max_col)))[0][0]
+                for s in pocket_sizes
+            ])
+
+        out = generate_ligands_in_pocket(
+            evd, params, key,
+            pocket_x=pocket_x, pocket_types=pocket_aa, pocket_mask=pocket_mask,
+            ligand_sizes=ligand_sizes, num_ligand_atom_types=kl,
+            num_resamplings=int(cfg.get("num_resamplings", 1)),
+            jump_length=int(cfg.get("jump_length", 1)),
+            num_timesteps=num_timesteps,
+            mesh=inference_mesh(cfg),
+        )
+        xh = np.concatenate([out["ligand_x"], out["ligand_one_hot"]], axis=-1)
+        node_mask = out["ligand_mask"]
+        # metrics + I/O run on the LIGAND space (the pocket is conditioning)
+        dataset_info = ligand_dataset_info(pocket_name)
+        # keep the conditioning pockets alongside the generated ligands
+        pocket_out = {
+            "coords": pocket_x.tolist(),
+            "residue_index": pocket_aa.tolist(),
+            "mask": pocket_mask.tolist(),
+            "dataset": pocket_name,
+        }
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "pockets.json"), "w") as f:
+            _json.dump(pocket_out, f)
     elif ddpm_mode == "chain":
         # denoising-chain visualization (reference sample_chain_and_save,
         # qm9_mol_gen_ddpm.py:956-1060): one molecule, all T intermediate
@@ -119,10 +218,7 @@ def main(argv=None):
 
         from bio_diffusion_tpu.chem.visualization import save_chain_frames, visualize_chain
 
-        chain_dir = os.path.join(
-            str(cfg.get("output_dir", "outputs/mol_gen_sample")),
-            datetime.datetime.now().strftime("%Y%m%d_%H%M%S"), "chain",
-        )
+        chain_dir = os.path.join(out_dir, "chain")
         save_chain_frames(
             frames[:, 0], node_mask[0], dataset_info, chain_dir,
             keep_frames=int(cfg.get("keep_frames", 100)),
@@ -142,10 +238,6 @@ def main(argv=None):
                 num_timesteps=num_timesteps,
             )
 
-    out_dir = os.path.join(
-        str(cfg.get("output_dir", "outputs/mol_gen_sample")),
-        datetime.datetime.now().strftime("%Y%m%d_%H%M%S"),
-    )
     from bio_diffusion_tpu.chem.molecule import RDKIT_AVAILABLE, save_xyz_files
 
     k = len(dataset_info["atom_decoder"])

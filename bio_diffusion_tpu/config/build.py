@@ -135,10 +135,17 @@ def build_evd(exp: ExperimentConfig, remat: bool = True):
     )
 
 
+POCKET_DATASETS = ("bindingmoad", "crossdock", "crossdock_full")
+
+
 def get_dataset_info_for(exp: ExperimentConfig) -> Dict[str, Any]:
     from bio_diffusion_tpu.data.dataset_info import get_dataset_info
 
     dl = exp.dataloader_cfg
+    if dl.dataset in POCKET_DATASETS:
+        from bio_diffusion_tpu.data.pocket import joint_dataset_info
+
+        return joint_dataset_info(dl.dataset)
     name = "QM9_second_half" if dl.dataset == "QM9_second_half" else (
         "GEOM" if "GEOM" in dl.dataset else "QM9"
     )
@@ -171,6 +178,25 @@ def build_datasets(exp: ExperimentConfig) -> Dict[str, Any]:
             num_pts=num_pts,
             force_download=dl.force_download,
         )
+    if dl.dataset in POCKET_DATASETS:
+        # Real Binding MOAD / CrossDocked structures are not downloadable in
+        # a zero-egress environment; substitute shape-faithful synthetic
+        # joint ligand+pocket graphs (data/pocket.py) so the experiment
+        # config trains end-to-end — RePaint pocket conditioning needs only
+        # an unconditionally-trained joint model.
+        from bio_diffusion_tpu.data.pocket import synthetic_pocket_joint_dataset
+
+        counts = {"train": dl.num_train, "valid": dl.num_valid, "test": dl.num_test}
+        return {
+            split: synthetic_pocket_joint_dataset(
+                dl.dataset,
+                num_graphs=(n if n and n > 0 else default),
+                seed=exp.seed + i,
+            )
+            for i, ((split, n), default) in enumerate(
+                zip(counts.items(), (512, 128, 128))
+            )
+        }
     if "GEOM" in dl.dataset:
         from bio_diffusion_tpu.data.geom import load_geom_datasets
 

@@ -338,3 +338,128 @@ def analyze_samples(
         validity, uniqueness, novelty = molecular_metrics.evaluate(mols)[:3]
         metrics.update(validity=validity, uniqueness=uniqueness, novelty=novelty)
     return metrics
+
+
+def generate_ligands_in_pocket(
+    evd,
+    params,
+    key,
+    pocket_x: np.ndarray,
+    pocket_types: np.ndarray,
+    pocket_mask: np.ndarray,
+    ligand_sizes: np.ndarray,
+    num_ligand_atom_types: int,
+    num_resamplings: int = 1,
+    jump_length: int = 1,
+    num_timesteps: Optional[int] = None,
+    mesh=None,
+    pad_to_multiple: int = 1,
+) -> Dict[str, np.ndarray]:
+    """Pocket-conditional ligand generation: RePaint inpainting over the
+    joint ligand+pocket graph with the pocket rows fixed.
+
+    This is the generation path the reference delegates to GCDM-SBDD
+    (README.md:302-304) while shipping the dataset metadata itself
+    (constants.py:98-1742): the diffusion model is trained unconditionally
+    on joint graphs, and conditioning happens at sampling time by fixing
+    the pocket through ``EVD.inpaint``'s ``node_mask_fixed`` — exactly the
+    RePaint recipe the inpaint machinery implements
+    (variational_diffusion.py:1582-1789).
+
+    Inputs:
+      pocket_x     [B, Np, 3]  pocket CA coordinates (any frame)
+      pocket_types [B, Np]     residue type indices into the aa space
+      pocket_mask  [B, Np]     0/1 pocket-row validity
+      ligand_sizes [B]         atoms to generate per pocket
+      num_ligand_atom_types    Kl — the ligand block width of the joint
+                               one-hot ([ligand | residue] layout,
+                               data/pocket.py JointLigandPocketBatch)
+
+    Output dict (all host numpy, ligand coordinates expressed in the INPUT
+    pocket frame; pocket rows of ``joint_xh`` are restored bit-exact to the
+    inputs — the pocket is conditioning, not a sample):
+      ligand_x [B, Nl, 3], ligand_one_hot [B, Nl, Kl], ligand_mask [B, Nl],
+      joint_xh [B, Nl+Np, 3+K], node_mask, fixed_mask
+    """
+    from bio_diffusion_tpu.config.schema import compute_num_atom_types
+    from bio_diffusion_tpu.data.batch import round_up
+    from bio_diffusion_tpu.data.pocket import JointLigandPocketBatch
+
+    ligand_sizes = np.asarray(ligand_sizes, dtype=np.int64)
+    pocket_x = np.asarray(pocket_x, dtype=np.float32)
+    pocket_mask = np.asarray(pocket_mask, dtype=np.float32)
+    b, np_pad = pocket_mask.shape
+    nl_pad = round_up(int(ligand_sizes.max()), pad_to_multiple)
+
+    k_total = compute_num_atom_types(evd.dataloader_cfg)
+    kl = int(num_ligand_atom_types)
+    kp = k_total - kl
+    if kp <= 0:
+        raise ValueError(
+            f"model atom-type width {k_total} does not leave room for a "
+            f"pocket block after {kl} ligand types"
+        )
+    pocket_one_hot = (
+        np.eye(kp, dtype=np.float32)[np.asarray(pocket_types, dtype=np.int64)]
+        * pocket_mask[..., None]
+    )
+    pocket_x = pocket_x * pocket_mask[..., None]
+
+    ligand_mask = np.asarray(make_node_mask(ligand_sizes, nl_pad), dtype=np.float32)
+    joint = JointLigandPocketBatch(
+        ligand_x=np.zeros((b, nl_pad, 3), np.float32),
+        ligand_one_hot=np.zeros((b, nl_pad, kl), np.float32),
+        ligand_mask=ligand_mask,
+        pocket_x=pocket_x,
+        pocket_one_hot=pocket_one_hot,
+        pocket_mask=pocket_mask,
+    )
+
+    x0 = jnp.asarray(joint.x)
+    h0_cat = jnp.asarray(joint.one_hot)
+    h0_int = jnp.zeros((b, nl_pad + np_pad, int(evd.dataloader_cfg.include_charges)))
+    node_mask = jnp.asarray(joint.node_mask)
+    fixed_mask = jnp.asarray(joint.fixed_mask)
+
+    fast = build_fast_evd(evd, params, mesh=mesh)
+    run_evd, run_params = (fast, {}) if fast is not None else (evd, params)
+
+    @jax.jit
+    def run_inpaint(p, k):
+        return run_evd.apply(
+            p, k, x0, h0_cat, h0_int, node_mask, fixed_mask,
+            num_resamplings, jump_length, num_timesteps,
+            method=run_evd.inpaint,
+        )
+
+    xh = np.array(run_inpaint(run_params, key))  # writable host copy
+
+    # restore the input pocket frame: inpaint's output is re-centered on the
+    # joint CoM, so align by the best-fit translation of the decoded pocket
+    # onto the input pocket, then restore pocket rows bit-exact (the pocket
+    # is conditioning — only the translation it pins down is kept)
+    dec_pocket = xh[:, nl_pad:, :3]
+    count = np.maximum(pocket_mask.sum(axis=1, keepdims=True), 1.0)
+    shift = ((pocket_x - dec_pocket) * pocket_mask[..., None]).sum(axis=1) / count  # [B,3]
+    xh[..., :3] += shift[:, None, :]
+    xh[..., :3] *= np.asarray(joint.node_mask)[..., None]
+    xh[:, nl_pad:, :3] = pocket_x
+    xh[:, nl_pad:, 3: 3 + k_total] = joint.one_hot[:, nl_pad:]
+
+    # ligand atom types are constrained to the ligand block: re-argmax the
+    # decoded logits-as-one-hot over [0, Kl) (a generated ligand row whose
+    # joint argmax fell in the residue block decodes to its best ligand type)
+    lig_block = xh[:, :nl_pad, 3: 3 + kl]
+    lig_types = lig_block.argmax(-1)
+    ligand_one_hot = np.eye(kl, dtype=np.float32)[lig_types] * ligand_mask[..., None]
+    xh[:, :nl_pad, 3: 3 + k_total] = 0.0
+    xh[:, :nl_pad, 3: 3 + kl] = ligand_one_hot
+
+    return {
+        "ligand_x": xh[:, :nl_pad, :3] * ligand_mask[..., None],
+        "ligand_one_hot": ligand_one_hot,
+        "ligand_mask": ligand_mask,
+        "joint_xh": xh,
+        "node_mask": np.asarray(joint.node_mask),
+        "fixed_mask": np.asarray(joint.fixed_mask),
+    }

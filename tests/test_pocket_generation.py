@@ -1,0 +1,244 @@
+"""Pocket-conditional ligand generation: the end-to-end slice connecting
+JointLigandPocketBatch.fixed_mask to EVD.inpaint's node_mask_fixed
+(SURVEY §7.2 step 7; the workload the reference delegates to GCDM-SBDD,
+README.md:302-304, whose dataset metadata ships in constants.py:98-1742).
+
+Covers: the core generate_ligands_in_pocket path (pocket rows bit-exact in
+the output, ligand types constrained to the ligand block, sane ligand CoM,
+determinism), the synthetic joint dataset + experiment config training
+end-to-end, and the ddpm_mode=pocket CLI with both synthetic and
+file-supplied pockets.
+"""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+POCKET_TINY = [
+    "experiment=pocket_mol_gen_ddpm",
+    "datamodule.dataloader_cfg.batch_size=8",
+    "datamodule.dataloader_cfg.num_train=24",
+    "datamodule.dataloader_cfg.num_valid=8",
+    "datamodule.dataloader_cfg.num_test=8",
+    "model.model_cfg.h_hidden_dim=16",
+    "model.model_cfg.chi_hidden_dim=4",
+    "model.model_cfg.e_hidden_dim=8",
+    "model.model_cfg.xi_hidden_dim=2",
+    "model.model_cfg.num_encoder_layers=1",
+    "model.diffusion_cfg.num_timesteps=8",
+    "model.diffusion_cfg.sample_during_training=false",
+    "trainer.use_mesh=false",
+    "extras.print_config=false",
+]
+
+
+def _tiny_pocket_evd():
+    from bio_diffusion_tpu.config.schema import (
+        DataloaderConfig, DiffusionConfig, LayerConfig, ModelConfig, ModuleConfig,
+    )
+    from bio_diffusion_tpu.models.diffusion import EquivariantVariationalDiffusion
+    from bio_diffusion_tpu.models.gcpnet import GCPNetDynamics
+
+    dl = DataloaderConfig(dataset="bindingmoad", num_atom_types=30, include_charges=False)
+    dc = DiffusionConfig(num_timesteps=8)
+    net = GCPNetDynamics(
+        ModelConfig(h_hidden_dim=16, chi_hidden_dim=4, e_hidden_dim=8,
+                    xi_hidden_dim=2, num_encoder_layers=1),
+        ModuleConfig(), LayerConfig(), dc, dl, remat_interactions=False,
+    )
+    evd = EquivariantVariationalDiffusion(dynamics=net, diffusion_cfg=dc, dataloader_cfg=dl)
+    key = jax.random.PRNGKey(0)
+    import jax.numpy as jnp
+
+    from bio_diffusion_tpu.ops.geometry import centralize
+
+    x0 = jax.random.normal(key, (2, 6, 3))
+    _, x0 = centralize(x0, jnp.ones((2, 6)))
+    params = evd.init(
+        key, x0, jnp.zeros((2, 6, 30)), jnp.zeros((2, 6, 0)), jnp.ones((2, 6)),
+        key, training=False,
+    )
+    return evd, params
+
+
+def test_generate_ligands_in_pocket_core(rng):
+    from bio_diffusion_tpu.data.pocket import get_pocket_dataset_info, synthetic_pockets
+    from bio_diffusion_tpu.train.sampling import generate_ligands_in_pocket
+
+    evd, params = _tiny_pocket_evd()
+    kl = len(get_pocket_dataset_info("bindingmoad")["atom_decoder"])
+
+    pocket_sizes = np.array([6, 8])
+    pocket_x, pocket_aa, pocket_mask = synthetic_pockets("bindingmoad", pocket_sizes, rng)
+    # displace the pockets away from the origin: frame restoration must hold
+    # in an arbitrary input frame, not just a centered one
+    pocket_x = pocket_x + np.array([[[5.0, -3.0, 2.0]], [[-4.0, 6.0, 1.0]]], np.float32)
+    pocket_x *= pocket_mask[..., None]
+    ligand_sizes = np.array([4, 5])
+
+    out = generate_ligands_in_pocket(
+        evd, params, jax.random.PRNGKey(7),
+        pocket_x=pocket_x, pocket_types=pocket_aa, pocket_mask=pocket_mask,
+        ligand_sizes=ligand_sizes, num_ligand_atom_types=kl,
+        num_resamplings=2, jump_length=2,
+    )
+
+    nl = out["ligand_mask"].shape[1]
+    joint = out["joint_xh"]
+    assert np.all(np.isfinite(joint))
+
+    # pocket rows are conditioning, not samples: restored bit-exact
+    np.testing.assert_array_equal(joint[:, nl:, :3], pocket_x)
+    kp_block = joint[:, nl:, 3 + kl: 3 + 30]
+    expected = np.eye(30 - kl, dtype=np.float32)[pocket_aa] * pocket_mask[..., None]
+    np.testing.assert_array_equal(kp_block, expected)
+    # pocket rows carry no ligand-type mass
+    assert np.all(joint[:, nl:, 3: 3 + kl] == 0)
+
+    # ligand rows: exactly one type in the LIGAND block per valid row
+    oh = out["ligand_one_hot"]
+    assert oh.shape[-1] == kl
+    row_sums = oh.sum(-1)
+    np.testing.assert_array_equal(row_sums, out["ligand_mask"])
+
+    # sane ligand CoM behavior, pinned model-independently: the pipeline is
+    # exactly translation-equivariant in the pocket frame (inpaint centers
+    # internally; the restoration maps back to the INPUT frame), so moving
+    # the pocket by c moves the generated ligand by c.  (How CLOSE the
+    # ligand sits to the pocket is a trained-model property — an untrained
+    # eps-net is amplified by 1/alpha_T ~ 150 through the reverse scan — so
+    # proximity is not assertable here; equivariance + the fixed-row
+    # machinery are.)
+    c = np.array([12.0, -7.0, 30.0], np.float32)
+    out_shift = generate_ligands_in_pocket(
+        evd, params, jax.random.PRNGKey(7),
+        pocket_x=(pocket_x + c) * pocket_mask[..., None], pocket_types=pocket_aa,
+        pocket_mask=pocket_mask,
+        ligand_sizes=ligand_sizes, num_ligand_atom_types=kl,
+        num_resamplings=2, jump_length=2,
+    )
+    lig_m = out["ligand_mask"][..., None]
+    np.testing.assert_allclose(
+        out_shift["ligand_x"], (out["ligand_x"] + c) * lig_m, atol=1e-2
+    )
+    np.testing.assert_array_equal(out_shift["ligand_one_hot"], out["ligand_one_hot"])
+
+    # determinism: same key -> identical samples
+    out2 = generate_ligands_in_pocket(
+        evd, params, jax.random.PRNGKey(7),
+        pocket_x=pocket_x, pocket_types=pocket_aa, pocket_mask=pocket_mask,
+        ligand_sizes=ligand_sizes, num_ligand_atom_types=kl,
+        num_resamplings=2, jump_length=2,
+    )
+    np.testing.assert_array_equal(out["joint_xh"], out2["joint_xh"])
+
+
+def test_synthetic_pocket_joint_dataset_schema():
+    from bio_diffusion_tpu.data.batch import iterate_dense_batches
+    from bio_diffusion_tpu.data.pocket import (
+        get_pocket_dataset_info, synthetic_pocket_joint_dataset,
+    )
+
+    info = get_pocket_dataset_info("bindingmoad")
+    kl, kp = len(info["atom_decoder"]), len(info["aa_decoder"])
+    ds = synthetic_pocket_joint_dataset("bindingmoad", num_graphs=16, seed=0,
+                                        max_total_nodes=64)
+    assert len(ds) == 16
+    assert ds.data["one_hot"].shape[-1] == kl + kp
+
+    batches = list(iterate_dense_batches(ds, batch_size=8, shuffle=False, drop_last=False))
+    assert batches
+    for b in batches:
+        # node mask matches declared sizes; one-hot rows valid where masked
+        assert np.all(b.one_hot.sum(-1)[b.node_mask > 0] == 1.0)
+        assert np.all(b.one_hot[b.node_mask == 0] == 0.0)
+        # each graph has both ligand atoms (block [0,kl)) and pocket residues
+        types = b.one_hot.argmax(-1)
+        for g in range(b.node_mask.shape[0]):
+            m = b.node_mask[g] > 0
+            assert (types[g][m] < kl).any() and (types[g][m] >= kl).any()
+
+
+def test_pocket_dataset_info_registries():
+    from bio_diffusion_tpu.data.pocket import joint_dataset_info, ligand_dataset_info
+
+    lig = ligand_dataset_info("bindingmoad")
+    assert len(lig["atom_decoder"]) == 10
+    assert lig["bonds1"].shape == (10, 10)
+    assert 0 not in lig["n_nodes"]  # no empty ligands
+
+    joint = joint_dataset_info("bindingmoad")
+    assert len(joint["atom_decoder"]) == 30
+    assert joint["num_ligand_atom_types"] == 10
+    # residue labels never collide with element symbols
+    assert len(set(joint["atom_decoder"])) == 30
+    assert joint["max_n_nodes"] <= 61 + 81
+
+
+def test_pocket_experiment_trains(tmp_path):
+    """The pocket experiment config trains end-to-end on the synthetic joint
+    dataset (the unconditional joint model RePaint conditioning samples from)."""
+    from bio_diffusion_tpu.cli.train import main
+
+    workdir = str(tmp_path / "pocket_run")
+    main(POCKET_TINY + ["debug=fdr", f"--workdir={workdir}"])
+    import csv
+
+    with open(os.path.join(workdir, "metrics.csv")) as f:
+        rows = list(csv.DictReader(f))
+    losses = [float(r["train/loss"]) for r in rows if r.get("train/loss")]
+    assert losses and np.isfinite(losses).all()
+
+
+def test_pocket_sampling_cli(tmp_path):
+    from bio_diffusion_tpu.cli.mol_gen_sample import main
+
+    out_dir = str(tmp_path / "pocket_samples")
+    metrics = main(POCKET_TINY + [
+        "ddpm_mode=pocket", "num_samples=2", "num_timesteps=6",
+        "pocket_size=6", "num_nodes=5",
+        f"output_dir={out_dir}",
+    ])
+    assert "mol_stable" in metrics and np.isfinite(metrics["atm_stable"])
+    run_dirs = os.listdir(out_dir)
+    assert len(run_dirs) == 1
+    run = os.path.join(out_dir, run_dirs[0])
+    assert os.path.exists(os.path.join(run, "pockets.json"))
+    xyz = [f for f in os.listdir(run) if f.endswith(".xyz")]
+    assert len(xyz) == 2
+    # ligand xyz files carry element symbols from the LIGAND space
+    with open(os.path.join(run, sorted(xyz)[0])) as f:
+        lines = f.read().strip().splitlines()
+    assert int(lines[0]) == 5
+    from bio_diffusion_tpu.data.pocket import get_pocket_dataset_info
+
+    elements = set(get_pocket_dataset_info("bindingmoad")["atom_decoder"])
+    assert all(ln.split()[0] in elements for ln in lines[2:])
+
+
+def test_pocket_sampling_cli_with_pocket_file(tmp_path, rng):
+    from bio_diffusion_tpu.cli.mol_gen_sample import main
+
+    # a user-supplied pocket: 7 CA coordinates + residue letters
+    coords = (rng.normal(size=(7, 3)) * 4.0 + np.array([10.0, 0.0, -5.0])).tolist()
+    pocket = {"coords": coords, "residues": ["A", "C", "D", "G", "L", "S", "W"]}
+    pocket_path = str(tmp_path / "pocket.json")
+    with open(pocket_path, "w") as f:
+        json.dump(pocket, f)
+
+    out_dir = str(tmp_path / "pocket_file_samples")
+    metrics = main(POCKET_TINY + [
+        "ddpm_mode=pocket", "num_samples=2", "num_timesteps=6",
+        f"pocket_file={pocket_path}",
+        f"output_dir={out_dir}",
+    ])
+    assert np.isfinite(metrics["atm_stable"])
+    run = os.path.join(out_dir, os.listdir(out_dir)[0])
+    with open(os.path.join(run, "pockets.json")) as f:
+        saved = json.load(f)
+    # every generated ligand conditioned on the same supplied pocket
+    assert np.allclose(saved["coords"][0], coords)
+    assert np.allclose(saved["coords"][1], coords)
