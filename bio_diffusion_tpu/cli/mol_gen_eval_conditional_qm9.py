@@ -71,12 +71,26 @@ def main(argv=None):
     )
     mean, mad = props_norms[prop]["mean"], props_norms[prop]["mad"]
 
-    # classifier
+    # classifier: a JAX classifier dir trained by cli.train_classifier
+    # (classifier.npz/classifier.json) or the reference torch directory
+    # layout (args.pickle + best_checkpoint.npy)
     classifier_dir = cfg.get("classifier_model_dir")
     if classifier_dir and os.path.isdir(str(classifier_dir)):
-        from bio_diffusion_tpu.models.classifier import load_torch_classifier
+        from bio_diffusion_tpu.train.classifier_train import (
+            is_jax_classifier_dir, load_jax_classifier,
+        )
 
-        classifier, cls_params = load_torch_classifier(str(classifier_dir))
+        if is_jax_classifier_dir(str(classifier_dir)):
+            classifier, cls_params, cls_meta = load_jax_classifier(str(classifier_dir))
+            if cls_meta.get("property") not in (None, prop):
+                log.warning(
+                    f"classifier was trained for property "
+                    f"{cls_meta['property']!r}, evaluating {prop!r}"
+                )
+        else:
+            from bio_diffusion_tpu.models.classifier import load_torch_classifier
+
+            classifier, cls_params = load_torch_classifier(str(classifier_dir))
     else:
         from bio_diffusion_tpu.models.classifier import EGNNClassifier
 
@@ -129,10 +143,26 @@ def main(argv=None):
     num_timesteps = cfg.get("num_timesteps")
     num_timesteps = int(num_timesteps) if num_timesteps else None
 
+    # bucketed padding across the whole protocol (the same ladder as the
+    # unconditional eval protocol, train/sampling.py sample_molecules):
+    # sizes for ALL iterations are drawn up front and sorted, so each batch
+    # pads only to its own multiple-of-4 bucket instead of max_n — context
+    # is per-graph, so conditioning composes with bucketing unchanged.
+    # single_bucket=true restores the reference padding for comparison.
+    from bio_diffusion_tpu.data.batch import select_bucket
+
+    single_bucket = bool(cfg.get("single_bucket", False))
+    sizes_all = nodes_dist.sample(iterations * batch_size, rng)
+    if not single_bucket:
+        sizes_all = np.sort(sizes_all)[::-1]
+
     maes = []
     for it in range(iterations):
-        num_nodes = nodes_dist.sample(batch_size, rng)
-        pad = int(nodes_dist.max_n)
+        num_nodes = sizes_all[it * batch_size: (it + 1) * batch_size]
+        if single_bucket:
+            pad = int(nodes_dist.max_n)
+        else:
+            pad = min(select_bucket(int(num_nodes.max()), None, 4), int(nodes_dist.max_n))
         node_mask = jnp.asarray(make_node_mask(num_nodes, pad))
         ctx_norm = props_distr.sample_batch(num_nodes, rng)  # normalized [B,1]
         context = jnp.asarray(

@@ -46,8 +46,21 @@ def synthetic_qm9_like(
         "index": np.arange(num_molecules, dtype=np.int64),
     }
     if include_properties:
-        for prop in ("mu", "alpha", "homo", "lumo", "gap", "Cv"):
-            data[prop] = rng.normal(size=num_molecules)
+        # structure-correlated properties (like the real QM9 ones): a
+        # property classifier trained on this data can genuinely learn, so
+        # conditional-evaluation MAE is discriminating rather than noise
+        n = sizes.astype(np.float64)
+        com = positions.sum(1) / n[:, None]
+        rg = np.sqrt(
+            (((positions - com[:, None]) ** 2).sum(-1) * (charges > 0)).sum(1) / n
+        )
+        frac_heavy = (charges > 1).sum(1) / n
+        data["alpha"] = n + 0.3 * rng.normal(size=num_molecules)  # grows with size
+        data["Cv"] = 0.5 * n + 0.2 * rng.normal(size=num_molecules)
+        data["mu"] = rg + 0.3 * rng.normal(size=num_molecules)
+        data["homo"] = -5.0 - frac_heavy + 0.1 * rng.normal(size=num_molecules)
+        data["lumo"] = 1.0 + 0.5 * frac_heavy + 0.1 * rng.normal(size=num_molecules)
+        data["gap"] = data["lumo"] - data["homo"] + 0.05 * rng.normal(size=num_molecules)
 
     one_hot = (charges[..., None] == QM9_SPECIES[None, None, :]).astype(np.float32)
     data["one_hot"] = one_hot
