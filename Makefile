@@ -8,7 +8,7 @@ test:            ## full suite on a virtual 8-device CPU mesh
 
 test-fast:       ## skip the slow multi-process / end-to-end tests
 	JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-	python -m pytest tests/ -q -k "not slow"
+	python -m pytest tests/ -q -m "not slow"
 
 native:          ## build the C++ data-loading components
 	$(MAKE) -C native

@@ -11,6 +11,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # classifier training loop e2e — excluded from `make test-fast`
+
 
 def _small_synthetic():
     from bio_diffusion_tpu.data.synthetic import synthetic_qm9_like

@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # train-CLI e2e — excluded from `make test-fast`
+
 TINY = [
     "datamodule.dataloader_cfg.dataset=synthetic",
     "datamodule.dataloader_cfg.batch_size=16",

@@ -90,6 +90,7 @@ def test_read_metric_from_csv(tmp_path):
         read_metric_from_csv(path, "nope")
 
 
+@pytest.mark.slow  # 94s: full TPE search over real training runs
 def test_hparam_search_script_end_to_end(tmp_path):
     """Drive scripts/hparam_search.py with a stub objective via a tiny
     synthetic train run config (1 epoch, 2 trials)."""

@@ -17,6 +17,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # pocket-conditional generation e2e — excluded from `make test-fast`
+
 POCKET_TINY = [
     "experiment=pocket_mol_gen_ddpm",
     "datamodule.dataloader_cfg.batch_size=8",

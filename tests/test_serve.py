@@ -12,6 +12,8 @@ import urllib.request
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # resident-server e2e — excluded from `make test-fast`
+
 TINY = [
     "datamodule.dataloader_cfg.dataset=synthetic",
     "model.model_cfg.h_hidden_dim=16",

@@ -60,6 +60,7 @@ def _batches(ds, batch_size, k):
     return [next(it) for _ in range(k)]
 
 
+@pytest.mark.slow  # 146s: two full training runs compared step-by-step
 def test_grad_accumulation_matches_big_batch():
     """accum(k=4) over 4 micro-batches == one step over their concatenation."""
     evd, dc, dl, ds, nodes_dist = _tiny_setup()
