@@ -34,6 +34,7 @@ the same params) and tests/test_fast_train.py (gradient parity).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -549,6 +550,17 @@ def _build_epack(e_emb, xi_emb, frames_flat, edge_mask, b, n, ve_dim, cdt):
     return jnp.concatenate(parts, axis=-1).reshape(b, n * n, width + pad_w)
 
 
+def quantize_epack(epack: Array) -> Tuple[Array, Array]:
+    """Per-lane symmetric int8 quantization of the packed edge tensor
+    (PALLAS_EPACK_INT8 experiment — halves the per-layer HBM fetch of the
+    kernel's largest input; the kernel dequantizes in VMEM)."""
+    scales = jnp.maximum(
+        jnp.max(jnp.abs(epack.astype(jnp.float32)), axis=(0, 1)), 1e-8
+    ) / 127.0  # [P]
+    q = jnp.clip(jnp.round(epack.astype(jnp.float32) / scales), -127, 127)
+    return q.astype(jnp.int8), scales
+
+
 def _node_update(layer: Dict[str, Any], s_agg, v_agg, s_node, v_node, f_node_c,
                  mask_f, x, node_positions_weight: float, cdt):
     """Feedforward + position update shared by both fast forwards."""
@@ -751,6 +763,11 @@ def make_fast_dynamics(
                               interpret=interpret, mesh=mesh)
         if use_pallas else None
     )
+    # int8 epack experiment (single-chip inference only; see quantize_epack)
+    epack_int8 = (
+        use_pallas and mesh is None
+        and os.environ.get("PALLAS_EPACK_INT8") == "1"
+    )
 
     def forward(xh, t, node_mask, context=None, xh_self_cond=None, deterministic=True):
         xh, node_mask, context, xh_self_cond, n_orig, n_pad = _pad_nodes(
@@ -778,21 +795,31 @@ def make_fast_dynamics(
         x = f["x_cent"]
         s_node, v_node = h_emb, chi_emb
 
-        epack = None
+        epack, epack_scales = None, None
         if use_pallas:
             epack = _build_epack(
                 e_emb, xi_emb, f["frames_flat"], f["edge_mask"], b, n,
                 mc.xi_hidden_dim, cdt,
             )
+            if epack_int8:
+                epack, epack_scales = quantize_epack(epack)
 
         for i in range(mc.num_encoder_layers):
             layer = dyn[f"interaction_layers_{i}"]
             if use_pallas:
                 g1, chain = mega_layers[i]
-                s_agg, v_agg3 = layer_fn(
-                    s_node, v_node.reshape(b, n, 3 * mc.chi_hidden_dim),
-                    epack, g1, chain,
-                )
+                if epack_scales is not None:
+                    # inference-only experiment path: no VJP wrapper needed
+                    s_agg, v_agg3 = fused_message_layer(
+                        s_node, v_node.reshape(b, n, 3 * mc.chi_hidden_dim),
+                        epack, g1, chain, ve_dim=mc.xi_hidden_dim,
+                        interpret=interpret, epack_scales=epack_scales,
+                    )
+                else:
+                    s_agg, v_agg3 = layer_fn(
+                        s_node, v_node.reshape(b, n, 3 * mc.chi_hidden_dim),
+                        epack, g1, chain,
+                    )
                 v_agg = v_agg3.reshape(b, n, 3, mc.chi_hidden_dim)
             else:
                 s_agg, v_agg = _message_passing_fast(

@@ -79,6 +79,25 @@ def select_fusion(b: int, n: int) -> int:
     return 1
 
 
+def _sigmoid(x):
+    """Kernel sigmoid via the exact identity sigmoid(x) = 0.5*(tanh(x/2)+1).
+
+    Mosaic's tanh lowering is substantially cheaper than its exp-based
+    sigmoid on the VPU, and the sampling kernel is transcendental-bound
+    (BASELINE.md roofline): tanh form measured 21,346 evals/s vs 18,940
+    for jax.nn.sigmoid on the QM9 headline bench (+12.7%).  Set
+    PALLAS_EXP_SIGMOID=1 to A/B the exp lowering."""
+    if os.environ.get("PALLAS_EXP_SIGMOID") == "1":
+        return jax.nn.sigmoid(x)
+    return 0.5 * (jnp.tanh(0.5 * x) + 1.0)
+
+
+def _silu(x):
+    if os.environ.get("PALLAS_EXP_SIGMOID") == "1":
+        return jax.nn.silu(x)
+    return x * _sigmoid(x)
+
+
 def _rep3_np(dtype=np.float32):
     """[3, 9] repeat selector: rep3[c, c*3+a] = 1 (c-major expansion)."""
     col = np.arange(9)[None, :]
@@ -160,8 +179,8 @@ def _gcp2_chain_kernel(
             [s.astype(f32), vnorm, schid], axis=-1
         ).astype(s.dtype)
         s2 = jnp.dot(merged, ws_ref[g], preferred_element_type=f32) + bs_ref[g].astype(f32)
-        silu_s2 = jax.nn.silu(s2).astype(s.dtype)
-        gate = jax.nn.sigmoid(
+        silu_s2 = _silu(s2).astype(s.dtype)
+        gate = _sigmoid(
             jnp.dot(silu_s2, wg_ref[g], preferred_element_type=f32) + bg_ref[g].astype(f32)
         ).astype(s.dtype)
 
@@ -173,7 +192,7 @@ def _gcp2_chain_kernel(
         v = v + vu * gate3
 
     if use_attention:
-        attn = jax.nn.sigmoid(
+        attn = _sigmoid(
             jnp.dot(s, wattn_ref[...], preferred_element_type=f32) + battn_ref[...].astype(f32)
         ).astype(s.dtype)
         s = s * attn
@@ -352,6 +371,48 @@ def pack_gcp1_weights(w1: dict, s_dim: int, v_dim: int, ve_dim: int, dtype=np.fl
     }
 
 
+def _chain_and_attn(
+    s, v, ones_col, scalarize,
+    wcomb_ref, wsc_ref, bsc_ref, wubd_ref, wgc_ref, bgc_ref,
+    wattn_ref, battn_ref, emask,
+    *, hc: int, num_gcps: int,
+):
+    """Residual GCP2 chain + scalar attention + edge mask, shared by both
+    forward kernels.  VPU-lean form (the sampling kernel is VPU-bound,
+    BASELINE.md roofline): biases ride as a ones-column through the merged
+    matmul (saves a [rows, S] f32 add pass per stage), the merged concat
+    stays in the compute dtype (no f32 up/down cast of the S-wide s block),
+    and the attention and edge mask collapse to one [rows, 1] scale."""
+    f32 = jnp.float32
+    dt = s.dtype
+    hc3 = 3 * hc
+    for g in range(num_gcps):
+        vhd_g = jnp.dot(v, wcomb_ref[g], preferred_element_type=f32)  # [rows, 3Hc+27]
+        vh_sq = sum(vhd_g[:, k * hc:(k + 1) * hc] ** 2 for k in range(3))
+        vnorm_g = jnp.sqrt(vh_sq + 1e-8) + 1e-8
+        schid_g = scalarize(vhd_g[:, hc3:])
+        merged = jnp.concatenate(
+            [s, vnorm_g.astype(dt), schid_g.astype(dt), ones_col], axis=-1
+        )
+        # bias folded into the weight: one small sublane concat per cell
+        # replaces a [rows, S] broadcast add per stage
+        wsc_b = jnp.concatenate([wsc_ref[g], bsc_ref[g][None, :]], axis=0)
+        s2_g = jnp.dot(merged, wsc_b, preferred_element_type=f32)
+        silu_g = _silu(s2_g).astype(dt)
+        gate_g = _sigmoid(
+            jnp.dot(silu_g, wgc_ref[g], preferred_element_type=f32) + bgc_ref[g].astype(f32)
+        ).astype(dt)
+        vu_g = jnp.dot(vhd_g[:, :hc3].astype(dt), wubd_ref[g], preferred_element_type=f32).astype(dt)
+        s = s + silu_g
+        v = v + vu_g * jnp.concatenate([gate_g, gate_g, gate_g], axis=-1)
+
+    attn = _sigmoid(
+        jnp.dot(s, wattn_ref[...], preferred_element_type=f32) + battn_ref[...].astype(f32)
+    )
+    scale = (attn * emask.astype(f32)).astype(dt)  # [rows, 1]
+    return s * scale, v * emask
+
+
 def _message_layer_kernel(
     s_node_ref, v_node_ref, ep_ref, rsel_ref, tsel_ref,
     # GCP1 weights
@@ -430,56 +491,129 @@ def _message_layer_kernel(
     vnorm = jnp.sqrt(vh_sq + 1e-8) + 1e-8
     schid = scalarize(vhd[:, h3:])
 
+    ones_col = jnp.ones((ep.shape[0], 1), dt)
     # edge-local s2 contributions as ONE fused matmul over the
-    # [e_feat | vnorm | schid] concat (wsx = [wse; wsvn; wssc])
+    # [e_feat | vnorm | schid | 1] concat (wsx_b = [wse; wsvn; wssc; bs] —
+    # the bias rides the ones column instead of a [rows, S] add pass)
     cat1 = jnp.concatenate(
-        [e_feat.astype(f32), vnorm, schid], axis=-1
-    ).astype(dt)
+        [e_feat, vnorm.astype(dt), schid.astype(dt), ones_col], axis=-1
+    )
+    wsx_b = jnp.concatenate([wsx_ref[...], bs1_ref[...].reshape(1, -1)], axis=0)
     s2 = (
         jnp.dot(R, jnp.dot(s_i, wsi_ref[...],
                            preferred_element_type=f32).astype(dt), preferred_element_type=f32)
         + jnp.dot(T, jnp.dot(s_n, wsj_ref[...], preferred_element_type=f32).astype(dt),
                   preferred_element_type=f32)
-        + jnp.dot(cat1, wsx_ref[...], preferred_element_type=f32)
-        + bs1_ref[...].astype(f32)
+        + jnp.dot(cat1, wsx_b, preferred_element_type=f32)
     )
-    silu1 = jax.nn.silu(s2).astype(dt)
-    gate1 = jax.nn.sigmoid(
+    silu1 = _silu(s2).astype(dt)
+    gate1 = _sigmoid(
         jnp.dot(silu1, wg1_ref[...], preferred_element_type=f32) + bg1_ref[...].astype(f32)
     ).astype(dt)
     vu1 = jnp.dot(vhd[:, :h3].astype(dt), wu1_ref[...], preferred_element_type=f32).astype(dt)
     g3 = jnp.concatenate([gate1, gate1, gate1], axis=-1)
-    s = silu1
-    v = vu1 * g3
 
-    # ---- residual chain of secondary GCPs ----
-    hc3 = 3 * hc
-    for g in range(num_gcps):
-        vhd_g = jnp.dot(v, wcomb_ref[g], preferred_element_type=f32)  # [rows, 3Hc+27]
-        vh_sq = sum(vhd_g[:, k * hc:(k + 1) * hc] ** 2 for k in range(3))
-        vnorm_g = jnp.sqrt(vh_sq + 1e-8) + 1e-8
-        schid_g = scalarize(vhd_g[:, hc3:])
-        merged = jnp.concatenate(
-            [s.astype(f32), vnorm_g, schid_g], axis=-1
-        ).astype(dt)
-        s2_g = jnp.dot(merged, wsc_ref[g], preferred_element_type=f32) + bsc_ref[g].astype(f32)
-        silu_g = jax.nn.silu(s2_g).astype(dt)
-        gate_g = jax.nn.sigmoid(
-            jnp.dot(silu_g, wgc_ref[g], preferred_element_type=f32) + bgc_ref[g].astype(f32)
-        ).astype(dt)
-        vu_g = jnp.dot(vhd_g[:, :hc3].astype(dt), wubd_ref[g], preferred_element_type=f32).astype(dt)
-        s = s + silu_g
-        v = v + vu_g * jnp.concatenate([gate_g, gate_g, gate_g], axis=-1)
-
-    attn = jax.nn.sigmoid(
-        jnp.dot(s, wattn_ref[...], preferred_element_type=f32) + battn_ref[...].astype(f32)
-    ).astype(dt)
-    s = s * attn * emask
-    v = v * emask
+    # ---- residual chain of secondary GCPs + attention + mask ----
+    s, v = _chain_and_attn(
+        silu1, vu1 * g3, ones_col, scalarize,
+        wcomb_ref, wsc_ref, bsc_ref, wubd_ref, wgc_ref, bgc_ref,
+        wattn_ref, battn_ref, emask,
+        hc=hc, num_gcps=num_gcps,
+    )
 
     # ---- masked aggregation over targets j: R^T @ messages ----
     s_agg_ref[0] = jnp.dot(R.T, s, preferred_element_type=f32).astype(dt)
     v_agg_ref[0] = jnp.dot(R.T, v, preferred_element_type=f32).astype(dt)
+
+
+def _message_layer_kernel_wm(
+    nodeproj_ref, ep_ref, rsel_ref, rtsel_ref,
+    # GCP1 weights (node-side projections are precomputed by the wrapper)
+    wve_ref, wsx_ref, bs1_ref, wu1_ref, wg1_ref, bg1_ref,
+    # chain weights
+    wcomb_ref, wsc_ref, bsc_ref, wubd_ref, wgc_ref, bgc_ref, wattn_ref, battn_ref,
+    # outputs
+    s_agg_ref, v_agg_ref,
+    *, n: int, s_dim: int, v_dim: int, ve_dim: int,
+    h1: int, hc: int, num_gcps: int, mols: int, scales_ref=None,
+):
+    """Whole-molecule-cell forward, VPU-lean restructuring of
+    _message_layer_kernel (the sampling kernel is VPU-bound — BASELINE.md
+    roofline; every eliminated [rows, S] elementwise pass counts):
+
+      * node-side projections (s@wsi, s@wsj, v@wvi, v@wvj) move OUT of the
+        kernel (wrapper XLA, O(B N S^2) vs the kernel's O(B N^2 S^2)), and
+        their four selector dots + three [rows, .] f32 adds collapse into
+        ONE [R | T] @ [proj_i; proj_j] matmul whose accumulation happens on
+        the MXU (which has slack) instead of VPU add passes;
+      * the layout puts the S-wide s2 block first, so rt_out[:, :S] and
+        rt_out[:, S:] split on a 128-lane boundary at the trained S=256;
+      * GCP1 bias rides a ones-column (shared with the chain stages).
+    """
+    f32 = jnp.float32
+    dt = nodeproj_ref.dtype
+    se = wsx_ref.shape[0] - h1 - 9
+    h3 = 3 * h1
+
+    ep = ep_ref[0]  # [rows, P]
+    if scales_ref is not None:
+        # int8-quantized epack (PALLAS_EPACK_INT8 experiment): halves the
+        # per-layer HBM fetch at the cost of one dequant pass per cell
+        ep = ep.astype(f32) * scales_ref[...]
+        ep = ep.astype(dt)
+    e_feat = ep[:, :se]
+    xi = ep[:, se: se + 3 * ve_dim]
+    ft = ep[:, se + 3 * ve_dim: se + 3 * ve_dim + 9]
+    emask = ep[:, se + 3 * ve_dim + 9: se + 3 * ve_dim + 10]
+
+    R = rsel_ref[...]      # [rows, NN] (aggregation)
+    RT = rtsel_ref[...]    # [rows, 2NN] ([R | T], wrapper-precomputed)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (3, 9), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (3, 9), 0)
+    tile3 = (col % 3 == row).astype(f32)
+    ftiles = [
+        jnp.dot(ft[:, 3 * k: 3 * (k + 1)].astype(f32), tile3,
+                preferred_element_type=f32)
+        for k in range(3)
+    ]
+
+    def scalarize(vdfrep_all):  # [rows, 27] (9 c-major cols per coordinate)
+        return sum(
+            vdfrep_all[:, 9 * k: 9 * (k + 1)] * ftiles[k] for k in range(3)
+        )
+
+    # ---- GCP1: one merged selector matmul for all node-side terms ----
+    rt_out = jnp.dot(RT, nodeproj_ref[0], preferred_element_type=f32)  # [rows, S+3H1+27]
+    vhd = rt_out[:, s_dim:] + jnp.dot(xi, wve_ref[...], preferred_element_type=f32)
+    vh_sq = sum(vhd[:, k * h1:(k + 1) * h1] ** 2 for k in range(3))
+    vnorm = jnp.sqrt(vh_sq + 1e-8) + 1e-8
+    schid = scalarize(vhd[:, h3:])
+
+    ones_col = jnp.ones((ep.shape[0], 1), dt)
+    cat1 = jnp.concatenate(
+        [e_feat, vnorm.astype(dt), schid.astype(dt), ones_col], axis=-1
+    )
+    wsx_b = jnp.concatenate([wsx_ref[...], bs1_ref[...].reshape(1, -1)], axis=0)
+    s2 = rt_out[:, :s_dim] + jnp.dot(cat1, wsx_b, preferred_element_type=f32)
+    silu1 = _silu(s2).astype(dt)
+    gate1 = _sigmoid(
+        jnp.dot(silu1, wg1_ref[...], preferred_element_type=f32) + bg1_ref[...].astype(f32)
+    ).astype(dt)
+    vu1 = jnp.dot(vhd[:, :h3].astype(dt), wu1_ref[...], preferred_element_type=f32).astype(dt)
+    g3 = jnp.concatenate([gate1, gate1, gate1], axis=-1)
+
+    s, v = _chain_and_attn(
+        silu1, vu1 * g3, ones_col, scalarize,
+        wcomb_ref, wsc_ref, bsc_ref, wubd_ref, wgc_ref, bgc_ref,
+        wattn_ref, battn_ref, emask,
+        hc=hc, num_gcps=num_gcps,
+    )
+
+    # ---- masked aggregation over targets j: R^T @ messages ----
+    f32_agg = jnp.float32
+    s_agg_ref[0] = jnp.dot(R.T, s, preferred_element_type=f32_agg).astype(dt)
+    v_agg_ref[0] = jnp.dot(R.T, v, preferred_element_type=f32_agg).astype(dt)
 
 
 def fused_message_layer(
@@ -491,6 +625,7 @@ def fused_message_layer(
     ve_dim: int,
     ti: Optional[int] = None,
     interpret: bool = False,
+    epack_scales: Optional[jax.Array] = None,  # [P] f32: epack is int8-quantized
 ) -> Tuple[jax.Array, jax.Array]:
     """One full message-passing layer -> aggregated node updates.
 
@@ -512,6 +647,9 @@ def fused_message_layer(
     assert n % ti == 0, (
         f"N={n} has no legal tile TI={ti}; pad N to a multiple of 8 for large molecules"
     )
+    assert epack_scales is None or ti == n, (
+        "int8 epack is only supported on whole-molecule cells"
+    )
 
     # molecules fused per grid cell (whole-molecule tiles only): one cell
     # runs ONE set of big matmuls over G flattened molecules — small
@@ -532,6 +670,99 @@ def fused_message_layer(
             ).astype(s_node.dtype)
     tsel = ((r1 // (n * n)) * n + r1 % n
             == jnp.arange(mols * n, dtype=jnp.int32)[None, :]).astype(s_node.dtype)
+
+    flops = b * n * n * 2 * (
+        (2 * s_dim + p + h1 + 9) * s_dim + num_gcps * (s_dim + hc + 9) * s_dim
+        + (num_gcps + 1) * (s_dim * v_dim + 3 * hc * v_dim)
+        + 2 * ti * (s_dim + v3)
+    )
+    cost = pl.CostEstimate(
+        flops=flops,
+        bytes_accessed=int(epack.size * epack.dtype.itemsize * 1.1),
+        transcendentals=b * n * n * s_dim * (num_gcps + 1) * 2,
+    )
+    g1 = gcp1_w
+    chain_args = [w_comb, wsc, bsc, wu_bd, wgc, bgc, wattn, battn]
+
+    if ti == n:
+        # whole-molecule cells: merged-selector kernel.  Node-side
+        # projections run in XLA here (once per layer call, O(B N S^2));
+        # the kernel consumes them through ONE [R | T] selector matmul.
+        f32 = jnp.float32
+        dt = s_node.dtype
+        sp_i = jnp.dot(s_node, g1["wsi"], preferred_element_type=f32).astype(dt)
+        sp_j = jnp.dot(s_node, g1["wsj"], preferred_element_type=f32).astype(dt)
+        vp_i = jnp.dot(v_node, g1["wvi"], preferred_element_type=f32).astype(dt)
+        vp_j = jnp.dot(v_node, g1["wvj"], preferred_element_type=f32).astype(dt)
+        # s2 block first: rt_out splits at lane s_dim (128-aligned at the
+        # trained S=256)
+        nodeproj = jnp.concatenate([
+            jnp.concatenate([sp_i, vp_i], axis=-1),
+            jnp.concatenate([sp_j, vp_j], axis=-1),
+        ], axis=1)  # [B/G, 2*G*N, S + 3H1+27]
+        rtsel = jnp.concatenate([rsel, tsel], axis=1)
+
+        grid = (b // mols,)
+        pj = nodeproj.shape[-1]
+
+        def nspec1(width):
+            return pl.BlockSpec((1, mols * n, width), lambda bb: (bb, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        def pspec():
+            return pl.BlockSpec((1, 2 * mols * n, pj), lambda bb: (bb, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        def espec1():
+            return pl.BlockSpec((1, mols * n * n, p), lambda bb: (bb, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        def full_spec1(arr):
+            return pl.BlockSpec(arr.shape, lambda bb: tuple(0 for _ in arr.shape),
+                                memory_space=pltpu.VMEM)
+
+        weight_args = [g1["wve"], g1["wsx"], g1["bs"], g1["wu_bd"], g1["wg"],
+                       g1["bg"]] + chain_args
+        if epack_scales is not None:
+            def kernel(nodeproj_ref, ep_ref, scales_ref, rsel_ref, rtsel_ref,
+                       *wrefs):
+                return _message_layer_kernel_wm(
+                    nodeproj_ref, ep_ref, rsel_ref, rtsel_ref, *wrefs,
+                    n=n, s_dim=s_dim, v_dim=v_dim, ve_dim=ve_dim,
+                    h1=h1, hc=hc, num_gcps=num_gcps, mols=mols,
+                    scales_ref=scales_ref,
+                )
+            extra_in = [full_spec1(epack_scales)]
+            extra_args = [epack_scales]
+        else:
+            kernel = functools.partial(
+                _message_layer_kernel_wm,
+                n=n, s_dim=s_dim, v_dim=v_dim, ve_dim=ve_dim,
+                h1=h1, hc=hc, num_gcps=num_gcps, mols=mols,
+            )
+            extra_in, extra_args = [], []
+        in_specs = [pspec(), espec1()] + extra_in + [
+            full_spec1(rsel), full_spec1(rtsel)
+        ] + [full_spec1(w) for w in weight_args]
+        args = [nodeproj, epack] + extra_args + [rsel, rtsel] + weight_args
+        s_agg, v_agg = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[nspec1(s_dim), nspec1(v3)],
+            out_shape=[
+                jax.ShapeDtypeStruct((b // mols, mols * n, s_dim), s_node.dtype),
+                jax.ShapeDtypeStruct((b // mols, mols * n, v3), v_node.dtype),
+            ],
+            cost_estimate=cost,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(*args)
+
+        if mols > 1:
+            s_agg = s_agg.reshape(b, n, s_dim)
+            v_agg = v_agg.reshape(b, n, v3)
+        return s_agg, v_agg
 
     grid = (b // mols, n // ti)
 
@@ -557,23 +788,10 @@ def fused_message_layer(
         h1=h1, hc=hc, num_gcps=num_gcps, mols=mols,
     )
 
-    g1 = gcp1_w
     weight_args = [
         g1["wvi"], g1["wvj"], g1["wve"], g1["wsi"], g1["wsj"], g1["wsx"],
         g1["bs"], g1["wu_bd"], g1["wg"], g1["bg"],
-        w_comb, wsc, bsc, wu_bd, wgc, bgc, wattn, battn,
-    ]
-
-    flops = b * n * n * 2 * (
-        (2 * s_dim + p + h1 + 9) * s_dim + num_gcps * (s_dim + hc + 9) * s_dim
-        + (num_gcps + 1) * (s_dim * v_dim + 3 * hc * v_dim)
-        + 2 * ti * (s_dim + v3)
-    )
-    cost = pl.CostEstimate(
-        flops=flops,
-        bytes_accessed=int(epack.size * epack.dtype.itemsize * 1.1),
-        transcendentals=b * n * n * s_dim * (num_gcps + 1) * 2,
-    )
+    ] + chain_args
 
     s_agg, v_agg = pl.pallas_call(
         kernel,
@@ -731,10 +949,10 @@ def _message_layer_bwd_kernel(
         + jnp.dot(cat1.astype(dt), wsx_ref[...], preferred_element_type=f32)
         + bs1_ref[...].astype(f32)
     )
-    sig1 = jax.nn.sigmoid(s2_1)
+    sig1 = _sigmoid(s2_1)
     silu1 = (s2_1 * sig1).astype(dt)
     zg1 = jnp.dot(silu1, wg1_ref[...], preferred_element_type=f32) + bg1_ref[...].astype(f32)
-    gate1 = jax.nn.sigmoid(zg1)
+    gate1 = _sigmoid(zg1)
     gate1_dt = gate1.astype(dt)
     vu1 = jnp.dot(vhd1[:, :h3].astype(dt), wu1_ref[...], preferred_element_type=f32).astype(dt)
     g3_1 = jnp.concatenate([gate1_dt] * 3, axis=-1)
@@ -751,9 +969,9 @@ def _message_layer_bwd_kernel(
             [s_g.astype(f32), vnorm_g, schid_g], axis=-1
         ).astype(dt)
         s2_g = jnp.dot(merged, wsc_ref[g], preferred_element_type=f32) + bsc_ref[g].astype(f32)
-        sig_g = jax.nn.sigmoid(s2_g)
+        sig_g = _sigmoid(s2_g)
         silu_g = (s2_g * sig_g).astype(dt)
-        gate_g = jax.nn.sigmoid(
+        gate_g = _sigmoid(
             jnp.dot(silu_g, wgc_ref[g], preferred_element_type=f32) + bgc_ref[g].astype(f32)
         ).astype(dt)
         vu_g = jnp.dot(vhd_g[:, :hc3].astype(dt), wubd_ref[g], preferred_element_type=f32).astype(dt)
@@ -763,7 +981,7 @@ def _message_layer_bwd_kernel(
     s_fin = s_stages[-1]  # [rows, S] pre-attention
     v_fin = v_stages[-1]
     z_attn = jnp.dot(s_fin, wattn_ref[...], preferred_element_type=f32) + battn_ref[...].astype(f32)
-    attn = jax.nn.sigmoid(z_attn)  # [rows, 1] f32
+    attn = _sigmoid(z_attn)  # [rows, 1] f32
 
     # ---- backward ----
     ds_agg = ds_agg_ref[0].astype(f32)  # [NN, S]
@@ -824,9 +1042,9 @@ def _message_layer_bwd_kernel(
             [s_in.astype(f32), vnorm_g, schid_g], axis=-1
         ).astype(dt)
         s2_g = jnp.dot(merged, wsc_ref[g], preferred_element_type=f32) + bsc_ref[g].astype(f32)
-        sig_g = jax.nn.sigmoid(s2_g)
+        sig_g = _sigmoid(s2_g)
         silu_g = (s2_g * sig_g).astype(dt)
-        gate_g = jax.nn.sigmoid(
+        gate_g = _sigmoid(
             jnp.dot(silu_g, wgc_ref[g], preferred_element_type=f32) + bgc_ref[g].astype(f32)
         )
         vu_g = jnp.dot(vhd_g[:, :hc3].astype(dt), wubd_ref[g], preferred_element_type=f32)
