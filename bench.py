@@ -1,7 +1,9 @@
 """Headline benchmark: unconditional reverse-diffusion sampling throughput.
 
-Workloads (BENCH_WORKLOAD=qm9|geom|qm9_eval|qm9_cond, default qm9;
-BENCH_ALL=1 runs every workload and emits the full table in one line):
+Default (no env vars): run EVERY workload and emit the full table in one
+JSON line — the qm9 headline row plus an ``extra`` dict with
+geom/qm9_eval/qm9_cond/train/serve — so the driver's fixed `python bench.py`
+pins all workloads (VERDICT r3 #3).  Set BENCH_WORKLOAD to run one:
 
   qm9  — 250 molecules x 1000 denoise steps, 19 atoms, 9-layer GCPNet.
          Reference: ~5 min on one CUDA GPU == ~833 denoiser evals/s
@@ -16,13 +18,28 @@ BENCH_ALL=1 runs every workload and emits the full table in one line):
          host.  Mirrors the 10k-sample eval protocol (reference
          mol_gen_eval.py) at BENCH_SAMPLES molecules; baseline is the
          same 833 evals/s chip rate.
+  qm9_cond — property-conditional sampling (alpha conditioning channel,
+         reference mol_gen_eval_conditional_qm9 demo README.md:144);
+         same 833 evals/s chip-rate baseline — conditioning only adds
+         one context feature to the denoiser input.
+  train — full jitted training step (loss -> grad -> adaptive clip ->
+         AMSGrad -> EMA) on the flagship 9-layer QM9 GCPNet, fast path
+         with the handwritten Pallas bwd kernel (B=64, N=29, bf16).
+         Baseline = 80 ms/step, this repo's own module-path (direct
+         GCPNetDynamics translation) time on the same chip — the
+         reference records no per-step number, so vs_baseline is the
+         fast-path speedup over the unfused implementation.
+  serve — resident model server end to end (micro-batching, device
+         execution, host decode) via scripts/bench_serve.py; sustained
+         mols/s + p50/p95 request latency, vs the same 833 evals/s
+         chip-rate baseline.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/baseline}
 
 Env knobs:
-  BENCH_WORKLOAD (qm9|geom|qm9_eval|qm9_cond), BENCH_ALL (=1: full table),
-  BENCH_STEPS (default 1000),
+  BENCH_WORKLOAD (qm9|geom|qm9_eval|qm9_cond|train; unset = full table),
+  BENCH_ALL (=0: force the single-workload qm9 path), BENCH_STEPS (default 1000),
   BENCH_BATCH (250), BENCH_NODES (19 qm9 / 44 geom), BENCH_PRECISION
   (f32|bf16, default bf16), BENCH_REPEATS (default 1), BENCH_SEGMENT
   (scan segment size, default 250), BENCH_SAMPLES (qm9_eval, default 1000).
@@ -49,7 +66,81 @@ WORKLOADS = {
         dict(e_hidden_dim=16, xi_hidden_dim=8, num_encoder_layers=4),
         dict(dataset="GEOM", num_atom_types=16, include_charges=False),
     ),
+    # baseline = this repo's own module-path step time (ms) on the same chip;
+    # lower value is better, so vs_baseline = baseline / value (a speedup)
+    "train": (80.0, 29, {}, {}),
 }
+
+
+def run_train_bench(steps_timed=20):
+    """`train` workload: steady-state ms/step of the fast (Pallas-bwd)
+    training path at flagship QM9 shapes.  Logic mirrors
+    scripts/bench_train_step.py --paths pallas."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_matmul_precision", "bfloat16")
+
+    from bio_diffusion_tpu.config.schema import (
+        DataloaderConfig, DiffusionConfig, LayerConfig, ModelConfig, ModuleConfig,
+        OptimizerConfig,
+    )
+    from bio_diffusion_tpu.data.batch import DenseMolBatch
+    from bio_diffusion_tpu.models.diffusion import EquivariantVariationalDiffusion
+    from bio_diffusion_tpu.models.distributions import NumNodesDistribution
+    from bio_diffusion_tpu.models.gcpnet import GCPNetDynamics
+    from bio_diffusion_tpu.models.gcpnet_fast import FastGCPNetDynamics
+    from bio_diffusion_tpu.ops.geometry import centralize
+    from bio_diffusion_tpu.train.state import create_train_state, make_optimizer
+    from bio_diffusion_tpu.train.step import make_train_step
+
+    batch, nodes = int(os.environ.get("BENCH_BATCH", 64)), int(os.environ.get("BENCH_NODES", 29))
+    dc, dl = DiffusionConfig(num_timesteps=1000), DataloaderConfig()
+    mc, mod, lcfg = ModelConfig(), ModuleConfig(), LayerConfig()
+    module_dyn = GCPNetDynamics(mc, mod, lcfg, dc, dl, compute_dtype="bfloat16")
+    evd = EquivariantVariationalDiffusion(dynamics=module_dyn, diffusion_cfg=dc,
+                                          dataloader_cfg=dl)
+    fast = FastGCPNetDynamics(mc, mod, lcfg, dc, dl, compute_dtype="bfloat16",
+                              use_pallas=True)
+
+    rng = np.random.default_rng(0)
+    num_atoms = rng.integers(max(nodes - 10, 3), nodes + 1, size=batch)
+    mask = (np.arange(nodes)[None, :] < num_atoms[:, None]).astype(np.float32)
+    x = rng.normal(size=(batch, nodes, 3)).astype(np.float32) * mask[..., None]
+    types = rng.integers(0, 5, size=(batch, nodes))
+    one_hot = np.eye(5, dtype=np.float32)[types] * mask[..., None]
+    charges = (types + 1).astype(np.float32)[..., None] * mask[..., None]
+    b = DenseMolBatch(x=jnp.asarray(x), one_hot=jnp.asarray(one_hot),
+                      charges=jnp.asarray(charges), node_mask=jnp.asarray(mask),
+                      context=None)
+
+    key = jax.random.PRNGKey(0)
+    _, x0 = centralize(b.x, b.node_mask)
+    params = evd.init(key, x0, b.one_hot, b.charges, b.node_mask, key, training=True)
+    hist = {int(n): int(c) for n, c in zip(*np.unique(num_atoms, return_counts=True))}
+    nodes_dist = NumNodesDistribution(hist)
+    opt_tx = make_optimizer(OptimizerConfig())
+    step = make_train_step(evd.clone(dynamics=fast), opt_tx, dc, dl,
+                           nodes_dist.log_prob_table, donate=False)
+    state = create_train_state(params, opt_tx)
+    t0 = time.time()
+    state, metrics = step(state, b, jax.random.PRNGKey(1))
+    float(metrics["loss"])  # forces completion
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for i in range(steps_timed):
+        state, metrics = step(state, b, jax.random.PRNGKey(2 + i))
+    loss = float(metrics["loss"])
+    ms = (time.time() - t0) / steps_timed * 1e3
+    print(json.dumps({
+        "metric": "qm9_train_step_ms",
+        "value": round(ms, 2),
+        "unit": "ms/step (B=%d, N=%d, 9 layers, bf16, Pallas fwd+bwd kernels; "
+                "baseline=80ms module path same chip)" % (batch, nodes),
+        "vs_baseline": round(80.0 / ms, 3),
+    }))
+    print(f"# compile(or cache)={compile_s:.1f}s loss={loss:.4f} "
+          f"device={jax.devices()[0]}", file=sys.stderr)
 
 
 def run_all():
@@ -60,12 +151,16 @@ def run_all():
     import subprocess
 
     rows = {}
-    for wl in ("qm9", "geom", "qm9_eval", "qm9_cond"):
-        env = dict(os.environ, BENCH_WORKLOAD=wl)
-        env.pop("BENCH_ALL", None)
+    here = os.path.dirname(os.path.abspath(__file__))
+    for wl in ("qm9", "geom", "qm9_eval", "qm9_cond", "train", "serve"):
+        env = dict(os.environ, BENCH_WORKLOAD=wl, BENCH_ALL="0")
         env.pop("BENCH_NODES", None)  # per-workload default nodes
+        target = (
+            [os.path.join(here, "scripts", "bench_serve.py")]
+            if wl == "serve" else [os.path.abspath(__file__)]
+        )
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            [sys.executable] + target,
             env=env, capture_output=True, text=True, timeout=3600,
         )
         for line in proc.stdout.strip().splitlines():
@@ -93,6 +188,8 @@ def main():
     if cache_dir:
         # first(run+compile) timing is cache-deserialization on a warm cache
         print(f"# persistent compilation cache: {cache_dir}", file=sys.stderr)
+    if os.environ.get("BENCH_WORKLOAD") == "train":
+        return run_train_bench()
     import jax.numpy as jnp
 
     workload = os.environ.get("BENCH_WORKLOAD", "qm9")
@@ -226,7 +323,12 @@ def main():
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_ALL") == "1":
+    # default (no env vars): full table, so the driver's fixed `python
+    # bench.py` invocation pins every workload (VERDICT r3 #3)
+    run_everything = os.environ.get(
+        "BENCH_ALL", "1" if "BENCH_WORKLOAD" not in os.environ else "0"
+    ) == "1"
+    if run_everything:
         run_all()
     else:
         main()

@@ -77,10 +77,15 @@ def main():
         "denoiser_evals_per_s": round(total_mols * steps / wall, 1),
         "latency_s": {
             "p50": round(lat[len(lat) // 2], 3),
+            "p95": round(lat[min(len(lat) - 1, int(0.95 * len(lat)))], 3),
             "max": round(lat[-1], 3),
         },
         "unit": f"molecules/s ({total_mols} mols x {steps} steps, "
                 f"{concurrency} concurrent clients, batch {batch})",
+        # chip-rate comparison: reference single-GPU sampling == 833 denoiser
+        # evals/s == 0.833 mols/s at 1000 steps (README.md:133-136); the
+        # serving number additionally carries batching + HTTP-path overhead
+        "vs_baseline": round(total_mols * steps / wall / 833.0, 3),
         "stats": server.describe()["stats"],
     }
     print(json.dumps(result))
