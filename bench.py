@@ -42,7 +42,9 @@ Env knobs:
   BENCH_ALL (=0: force the single-workload qm9 path), BENCH_STEPS (default 1000),
   BENCH_BATCH (250), BENCH_NODES (19 qm9 / 44 geom), BENCH_PRECISION
   (f32|bf16, default bf16), BENCH_REPEATS (default 1), BENCH_SEGMENT
-  (scan segment size, default 250), BENCH_SAMPLES (qm9_eval, default 1000).
+  (scan segment size, default 250), BENCH_SAMPLES (qm9_eval, default 1000),
+  BENCH_EVAL_BATCH (qm9_eval protocol batch, default 125), BENCH_PAD_MULT
+  (qm9_eval node-padding granularity, default 1 = exact batch maxima).
 """
 
 import json
@@ -257,20 +259,32 @@ def main():
             {int(k): int(v) for k, v in info["n_nodes"].items()}
         )
         num_samples = int(os.environ.get("BENCH_SAMPLES", 1000))
-        # sizes are bucketed (sorted, padded to multiples of 4) — batches of
-        # mostly-19-atom molecules no longer run 29^2-edge work.  BENCH_PAD=1
-        # restores the single-bucket reference padding for comparison.
+        # sizes are bucketed (sorted, padded to exact batch maxima) — batches
+        # of mostly-small molecules no longer run 29^2-edge work.  Per-mol
+        # device cost is batch-insensitive down to 125 (measured: BASELINE.md
+        # shape sweep), so batch 125 + exact-size buckets wins +21.6% over
+        # batch 250 + multiple-of-4 (16,567 -> 20,148 evals/s A/B, same chip).
+        # BENCH_PAD=1 restores the single-bucket reference padding; knobs:
+        # BENCH_EVAL_BATCH (125), BENCH_PAD_MULT (1).
         pad_to = nodes if os.environ.get("BENCH_PAD") == "1" else None
+        eval_batch = int(os.environ.get("BENCH_EVAL_BATCH", 125))
+        pad_mult = int(os.environ.get("BENCH_PAD_MULT", 1))
         # warmup with an identically-seeded rng: same size sequence -> the
-        # timed pass hits only compiled bucket shapes
+        # timed pass hits only compiled bucket shapes.  One segment-length
+        # run per bucket compiles the same three executables (init /
+        # segment-scan / decode) as the full run at a fraction of the
+        # device time (segment length, not step count, keys the scan shape).
         sample_molecules(sampler, jax.random.PRNGKey(0), num_samples,
                          nodes_dist, np.random.default_rng(1),
-                         batch_size=batch, pad_to=pad_to, num_timesteps=steps)
+                         batch_size=eval_batch, pad_to=pad_to,
+                         pad_to_multiple=pad_mult,
+                         num_timesteps=min(steps, segment))
         t0 = time.time()
         xh, masks, sizes = sample_molecules(
             sampler, jax.random.PRNGKey(1), num_samples, nodes_dist,
             np.random.default_rng(1),
-            batch_size=batch, pad_to=pad_to, num_timesteps=steps,
+            batch_size=eval_batch, pad_to=pad_to,
+            pad_to_multiple=pad_mult, num_timesteps=steps,
         )
         sample_s = time.time() - t0
         t0 = time.time()
@@ -282,7 +296,7 @@ def main():
             "value": round(evals_per_s, 2),
             "unit": "denoiser evals/s (%d mols x %d steps, dist-sampled sizes, "
                     "batch %d; host analyze %.1fs)"
-                    % (num_samples, steps, batch, analyze_s),
+                    % (num_samples, steps, eval_batch, analyze_s),
             "vs_baseline": round(evals_per_s / baseline, 3),
         }))
         print(f"# sample={sample_s:.1f}s analyze={analyze_s:.1f}s metrics={metrics}",

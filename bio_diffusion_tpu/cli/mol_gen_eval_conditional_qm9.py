@@ -146,7 +146,7 @@ def main(argv=None):
     # bucketed padding across the whole protocol (the same ladder as the
     # unconditional eval protocol, train/sampling.py sample_molecules):
     # sizes for ALL iterations are drawn up front and sorted, so each batch
-    # pads only to its own multiple-of-4 bucket instead of max_n — context
+    # pads only to its own multiple-of-2 bucket instead of max_n — context
     # is per-graph, so conditioning composes with bucketing unchanged.
     # single_bucket=true restores the reference padding for comparison.
     from bio_diffusion_tpu.data.batch import select_bucket
@@ -162,7 +162,7 @@ def main(argv=None):
         if single_bucket:
             pad = int(nodes_dist.max_n)
         else:
-            pad = min(select_bucket(int(num_nodes.max()), None, 4), int(nodes_dist.max_n))
+            pad = min(select_bucket(int(num_nodes.max()), None, 2), int(nodes_dist.max_n))
         node_mask = jnp.asarray(make_node_mask(num_nodes, pad))
         ctx_norm = props_distr.sample_batch(num_nodes, rng)  # normalized [B,1]
         context = jnp.asarray(
