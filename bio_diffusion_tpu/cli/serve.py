@@ -35,6 +35,14 @@ log = get_logger(__name__)
 
 
 def build_server(cfg) -> MoleculeServer:
+    # Serving defaults to the bf16 fast path — the headline bench precision,
+    # sampling parity pinned in BASELINE.md (the composed trainer group says
+    # fp32, which is the right default for training/parity CLIs but leaves
+    # ~25% serving throughput on the table).  precision=fp32 restores the
+    # exact-parity body.
+    if str(cfg.get("precision", "bf16")).lower() in ("bf16", "bfloat16"):
+        cfg = dict(cfg)
+        cfg["trainer"] = {**cfg.get("trainer", {}), "precision": "bf16"}
     exp = build_experiment(cfg)
     if exp.module_cfg.conditioning:
         raise ValueError(
@@ -51,6 +59,7 @@ def build_server(cfg) -> MoleculeServer:
         buckets=cfg.get("buckets"),
         num_timesteps=int(num_timesteps) if num_timesteps else None,
         max_wait_ms=float(cfg.get("max_wait_ms", 5.0)),
+        max_job_age_s=float(cfg.get("max_job_age_s", 30.0)),
         mesh=inference_mesh(cfg),
         seed=int(cfg.get("seed", 0)),
         max_request_mols=int(cfg.get("max_request_mols", 10_000)),
@@ -103,6 +112,12 @@ def make_handler(server: MoleculeServer):
 
 def main(argv=None):
     cfg, flags = parse_cli(list(sys.argv[1:] if argv is None else argv), "serve")
+    if str(cfg.get("precision", "bf16")).lower() in ("bf16", "bfloat16"):
+        # process-level (entry point only — build_server leaves globals
+        # alone so library/test processes are unaffected)
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", "bfloat16")
     server = build_server(cfg)
     if bool(cfg.get("warmup", True)):
         server.warmup(cfg.get("warmup_buckets"))

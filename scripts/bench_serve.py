@@ -8,6 +8,13 @@ sees it, as opposed to bench.py's raw device-loop rate.
   SERVE_BATCH=250 SERVE_STEPS=1000 SERVE_NODES=19 SERVE_REQUESTS=8 \
   SERVE_CONCURRENCY=4 python scripts/bench_serve.py
 
+SERVE_NODES=dist draws each molecule's size from the QM9 size distribution
+(the realistic production mix) over the server's full bucket ladder — the
+workload where size-affine micro-batching matters; SERVE_NODES=<int> pins
+every molecule to one size/bucket (the pure device-rate SLO).
+SERVE_PRECISION=fp32 restores the exact-parity body (default bf16, the
+headline bench precision).
+
 Prints one JSON line:
   {"molecules_per_s": ..., "denoiser_evals_per_s": ..., "latency_s": {...}}
 """
@@ -28,9 +35,14 @@ def main():
     from bio_diffusion_tpu.cli.serve import build_server
     from bio_diffusion_tpu.config.loader import load_config
 
+    precision = os.environ.get("SERVE_PRECISION", "bf16")
+    if precision in ("bf16", "bfloat16"):
+        jax.config.update("jax_default_matmul_precision", "bfloat16")
+
     batch = int(os.environ.get("SERVE_BATCH", 250))
     steps = int(os.environ.get("SERVE_STEPS", 1000))
-    nodes = int(os.environ.get("SERVE_NODES", 19))
+    nodes_env = os.environ.get("SERVE_NODES", "19")
+    nodes = None if nodes_env == "dist" else int(nodes_env)
     n_requests = int(os.environ.get("SERVE_REQUESTS", 8))
     concurrency = int(os.environ.get("SERVE_CONCURRENCY", 4))
     if n_requests < concurrency:
@@ -40,8 +52,11 @@ def main():
     cfg = load_config(default_config_dir(), "serve", [
         "datamodule.dataloader_cfg.dataset=synthetic",
         f"serving_batch_size={batch}",
-        f"buckets=[{nodes}]",
+        ("buckets=[%s]" % os.environ["SERVE_BUCKETS"]
+         if os.environ.get("SERVE_BUCKETS")
+         else "buckets=null" if nodes is None else f"buckets=[{nodes}]"),
         f"num_timesteps={steps}",
+        f"precision={precision}",
         "use_mesh=" + os.environ.get("SERVE_MESH", "true"),
     ])
     server = build_server(cfg)
@@ -56,6 +71,8 @@ def main():
     def client(i):
         for r in range(n_requests // concurrency):
             t = time.time()
+            # nodes=None: sizes drawn per molecule from the dataset's size
+            # distribution (server nodes_dist) — the realistic serving mix
             out = server.generate(mols_per_request, num_nodes=nodes, timeout=3600)
             with lat_lock:
                 latencies.append(time.time() - t)
@@ -81,6 +98,7 @@ def main():
             "max": round(lat[-1], 3),
         },
         "unit": f"molecules/s ({total_mols} mols x {steps} steps, "
+                f"{'dist-sampled sizes' if nodes is None else f'{nodes} atoms'}, "
                 f"{concurrency} concurrent clients, batch {batch})",
         # chip-rate comparison: reference single-GPU sampling == 833 denoiser
         # evals/s == 0.833 mols/s at 1000 steps (README.md:133-136); the

@@ -110,6 +110,64 @@ def test_seeded_without_num_nodes_is_deterministic(server):
         np.testing.assert_allclose(ma["positions"], mb["positions"], atol=1e-6)
 
 
+def test_size_affine_batching():
+    """Size-sorted batching: jobs of different size buckets never share a
+    batch when pure full batches exist for both (device cost ~N^2.2 in the
+    padded bucket), and an under-full batch on linger expiry carries the
+    smaller job along (padded slots cost the same as real jobs)."""
+    import time
+
+    from bio_diffusion_tpu.cli.common import default_config_dir
+    from bio_diffusion_tpu.cli.serve import build_server
+    from bio_diffusion_tpu.config.loader import load_config
+
+    cfg = load_config(
+        default_config_dir(), "serve",
+        TINY + ["serving_batch_size=2", "buckets=[4,6]", "use_mesh=false",
+                "max_wait_ms=300"],
+    )
+    srv = build_server(cfg)
+    try:
+        # --- separation: 2 size-3 jobs + 2 size-6 jobs, submitted together,
+        # run as one bucket-4 batch and one bucket-6 batch (FIFO batching
+        # would mix them into bucket-6 batches)
+        results = [None, None]
+
+        def call(i, n):
+            results[i] = srv.generate(2, num_nodes=n)
+
+        threads = [threading.Thread(target=call, args=(0, 3)),
+                   threading.Thread(target=call, args=(1, 6))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(r["num_molecules"] == 2 for r in results)
+        bb = srv.describe()["stats"]["bucket_batches"]
+        assert bb.get(4) == 1 and bb.get(6) == 1
+
+        # --- top-up: one size-6 job, then one size-3 job 50 ms later; the
+        # linger expires on the size-6 group, which runs topped up with the
+        # size-3 job -> ONE bucket-6 batch covering both
+        before = srv.describe()["stats"]["batches"]
+
+        def call1(i, n):
+            results[i] = srv.generate(1, num_nodes=n)
+
+        t6 = threading.Thread(target=call1, args=(0, 6))
+        t3 = threading.Thread(target=call1, args=(1, 3))
+        t6.start()
+        time.sleep(0.05)
+        t3.start()
+        t6.join()
+        t3.join()
+        assert results[0]["molecules"][0]["size"] == 6
+        assert results[1]["molecules"][0]["size"] == 3
+        assert srv.describe()["stats"]["batches"] - before == 1
+    finally:
+        srv.close()
+
+
 def test_http_server_roundtrip():
     from bio_diffusion_tpu.cli.serve import main
 
