@@ -34,13 +34,33 @@ from bio_diffusion_tpu.utils.logging import get_logger
 log = get_logger(__name__)
 
 
+def serving_precision(cfg) -> str:
+    """The effective serving precision: an EXPLICIT ``trainer.precision``
+    override wins (serve.yaml composes no trainer group, so its presence
+    means the user set it); otherwise the top-level ``precision`` key —
+    the documented serving knob, default bf16 (the headline bench
+    precision; ``precision=fp32`` restores the exact-parity body)."""
+    trainer = cfg.get("trainer")
+    explicit = trainer.get("precision") if isinstance(trainer, dict) else None
+    top = str(cfg.get("precision", "bf16")).lower()
+    if explicit is not None:
+        eff = "bf16" if str(explicit).lower() in ("bf16", "bfloat16") else "fp32"
+        top_n = "bf16" if top in ("bf16", "bfloat16") else "fp32"
+        if eff != top_n:
+            log.warning(
+                f"honoring explicit trainer.precision={explicit} over the "
+                f"serving default precision={cfg.get('precision', 'bf16')}"
+            )
+        return eff
+    return "bf16" if top in ("bf16", "bfloat16") else "fp32"
+
+
 def build_server(cfg) -> MoleculeServer:
-    # Serving defaults to the bf16 fast path — the headline bench precision,
-    # sampling parity pinned in BASELINE.md (the composed trainer group says
-    # fp32, which is the right default for training/parity CLIs but leaves
-    # ~25% serving throughput on the table).  precision=fp32 restores the
-    # exact-parity body.
-    if str(cfg.get("precision", "bf16")).lower() in ("bf16", "bfloat16"):
+    # Serving defaults to the bf16 fast path (the right default for
+    # training/parity CLIs is fp32, but it leaves ~25% serving throughput
+    # on the table).  An explicit trainer.precision override is honored —
+    # never silently flipped (ADVICE r4).
+    if serving_precision(cfg) == "bf16":
         cfg = dict(cfg)
         cfg["trainer"] = {**cfg.get("trainer", {}), "precision": "bf16"}
     exp = build_experiment(cfg)
@@ -112,7 +132,7 @@ def make_handler(server: MoleculeServer):
 
 def main(argv=None):
     cfg, flags = parse_cli(list(sys.argv[1:] if argv is None else argv), "serve")
-    if str(cfg.get("precision", "bf16")).lower() in ("bf16", "bfloat16"):
+    if serving_precision(cfg) == "bf16":
         # process-level (entry point only — build_server leaves globals
         # alone so library/test processes are unaffected)
         import jax

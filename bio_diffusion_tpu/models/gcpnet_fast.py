@@ -801,7 +801,13 @@ def make_fast_dynamics(
                 e_emb, xi_emb, f["frames_flat"], f["edge_mask"], b, n,
                 mc.xi_hidden_dim, cdt,
             )
-            if epack_int8:
+            # int8 epack needs whole-molecule kernel cells: for large
+            # molecules where the kernel tiles sub-molecule
+            # (select_tile(n) != n), fall back to the fp path instead of
+            # tripping the kernel's assertion (ADVICE r4)
+            from bio_diffusion_tpu.ops.pallas.gcp_kernel import select_tile
+
+            if epack_int8 and select_tile(n) == n:
                 epack, epack_scales = quantize_epack(epack)
 
         for i in range(mc.num_encoder_layers):

@@ -366,7 +366,20 @@ class MoleculeServer:
             #    job once its linger expires
             if not pending:
                 continue
-            run_key = coherent_full_pool()
+            # cross-pool aging: the max_job_age_s bound must hold globally,
+            # not just within the pool being drained — under a sustained
+            # stream of coherent same-bucket jobs at one num_timesteps, a
+            # job in another pool would otherwise never be selected (the
+            # oldest-pool rule below only fires when NO coherent full pool
+            # exists).  If any pending job anywhere has aged out, run ITS
+            # pool first; take() then force-includes it.
+            now = time.time()
+            aged = [(j.t_enq, T) for T, grp in pending.items() for j in grp
+                    if now - j.t_enq > self.max_job_age_s]
+            if aged:
+                run_key = min(aged)[1]
+            else:
+                run_key = coherent_full_pool()
             if run_key is None:
                 oldest_t = min(j.t_enq for grp in pending.values() for j in grp)
                 if time.time() < oldest_t + self.max_wait_s:

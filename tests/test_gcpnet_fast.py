@@ -62,6 +62,46 @@ def test_fast_forward_matches_module(key, conditioning, self_condition):
     )
 
 
+def test_epack_int8_parity_and_large_molecule_fallback(key, monkeypatch):
+    """PALLAS_EPACK_INT8 (interpret mode): on whole-molecule kernel cells
+    the quantized path stays within int8 tolerance of the fp fast path; on
+    GEOM-scale molecules (sub-molecule tiles) the gate falls back to the
+    fp path instead of tripping the kernel's whole-molecule assertion
+    (ADVICE r4)."""
+    monkeypatch.setenv("PALLAS_EPACK_INT8", "1")
+    net, cfgs = build()
+    mc, mod, lc, dc, dl = cfgs
+    rng = np.random.default_rng(2)
+
+    def run(N):
+        mask = jnp.asarray(
+            np.stack([np.ones(N), np.concatenate([np.ones(N - 2), np.zeros(2)])]),
+            dtype=jnp.float32,
+        )
+        x = jnp.asarray(rng.normal(size=(2, N, 3)).astype(np.float32)) * mask[..., None]
+        _, x = centralize(x, mask)
+        h = jnp.asarray(rng.normal(size=(2, N, 6)).astype(np.float32)) * mask[..., None]
+        xh = jnp.concatenate([x, h], -1)
+        t = jnp.full((2, 1), 0.5)
+        params = net.init(key, xh, t, mask)
+        expected = net.apply(params, xh, t, mask)
+        fwd = make_fast_dynamics(mc, mod, lc, dc, dl, params, compute_dtype=None,
+                                 use_pallas=True, interpret=True)
+        return np.asarray(fwd(xh, t, mask)), np.asarray(expected)
+
+    # whole-molecule cell (small N): int8 path runs; per-lane symmetric
+    # quantization of the packed edge tensor -> loose output tolerance
+    out, expected = run(8)
+    assert np.isfinite(out).all()
+    assert np.abs(out - expected).max() < 0.1, np.abs(out - expected).max()
+
+    # GEOM-scale molecule (56^2 edge rows > WHOLE_MOL_ROWS so
+    # select_tile(56) != 56): gate must fall back to the fp path (exact
+    # parity), not crash
+    out, expected = run(56)
+    assert np.allclose(out, expected, atol=3e-5)
+
+
 def test_fast_forward_large_molecules(key):
     """GEOM-scale molecules exercise the sub-molecule tile + padding path."""
     net, cfgs = build()

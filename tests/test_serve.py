@@ -168,6 +168,78 @@ def test_size_affine_batching():
         srv.close()
 
 
+def test_explicit_trainer_precision_is_honored():
+    """An explicit trainer.precision=fp32 override must not be silently
+    flipped to the bf16 serving default (ADVICE r4); the top-level
+    precision key remains the documented serving knob."""
+    from bio_diffusion_tpu.cli.common import default_config_dir
+    from bio_diffusion_tpu.cli.serve import serving_precision
+    from bio_diffusion_tpu.config.loader import load_config
+
+    base = TINY + ["serving_batch_size=2", "buckets=[6]", "use_mesh=false"]
+    cfg = load_config(default_config_dir(), "serve", base)
+    assert serving_precision(cfg) == "bf16"  # serving default
+    cfg = load_config(default_config_dir(), "serve",
+                      base + ["trainer.precision=fp32"])
+    assert serving_precision(cfg) == "fp32"  # explicit override wins
+    cfg = load_config(default_config_dir(), "serve",
+                      base + ["precision=fp32"])
+    assert serving_precision(cfg) == "fp32"  # documented opt-out
+    cfg = load_config(default_config_dir(), "serve",
+                      base + ["precision=fp32", "trainer.precision=bf16"])
+    assert serving_precision(cfg) == "bf16"
+
+
+def test_cross_pool_aging_no_starvation():
+    """The max_job_age_s queueing-delay bound holds GLOBALLY: a job at one
+    num_timesteps must not starve behind a sustained stream of coherent
+    full batches at another num_timesteps.  Once it ages past
+    max_job_age_s, its pool runs next (cross-pool aging) even though a
+    coherent full pool exists every scheduling round."""
+    import time
+
+    from bio_diffusion_tpu.cli.common import default_config_dir
+    from bio_diffusion_tpu.cli.serve import build_server
+    from bio_diffusion_tpu.config.loader import load_config
+
+    cfg = load_config(
+        default_config_dir(), "serve",
+        TINY + ["serving_batch_size=2", "buckets=[6]", "use_mesh=false",
+                "max_wait_ms=10000", "max_job_age_s=0.3"],
+    )
+    srv = build_server(cfg)
+    try:
+        # warm both scan lengths so compile time cannot mask the scheduling
+        srv.generate(2, num_nodes=6, num_timesteps=10)
+        srv.generate(1, num_nodes=6, num_timesteps=5)
+
+        stop = threading.Event()
+
+        def stream():
+            # sustained coherent full batches at T=10: without cross-pool
+            # aging, coherent_full_pool() always picks this pool and the
+            # T=5 job below waits out the full 10 s linger
+            while not stop.is_set():
+                srv.generate(2, num_nodes=6, num_timesteps=10)
+
+        st = threading.Thread(target=stream)
+        st.start()
+        try:
+            time.sleep(0.1)  # let the stream establish
+            t0 = time.time()
+            out = srv.generate(1, num_nodes=6, num_timesteps=5, timeout=8)
+            waited = time.time() - t0
+        finally:
+            stop.set()
+            st.join()
+        assert out["num_molecules"] == 1
+        # served shortly after the 0.3 s age bound — nowhere near the 10 s
+        # linger that pre-fix scheduling would impose
+        assert waited < 5.0, f"aged cross-pool job waited {waited:.1f}s"
+    finally:
+        srv.close()
+
+
 def test_http_server_roundtrip():
     from bio_diffusion_tpu.cli.serve import main
 
