@@ -75,6 +75,7 @@ def main(argv=None):
     # (classifier.npz/classifier.json) or the reference torch directory
     # layout (args.pickle + best_checkpoint.npy)
     classifier_dir = cfg.get("classifier_model_dir")
+    cls_meta: dict = {}
     if classifier_dir and os.path.isdir(str(classifier_dir)):
         from bio_diffusion_tpu.train.classifier_train import (
             is_jax_classifier_dir, load_jax_classifier,
@@ -175,7 +176,13 @@ def main(argv=None):
         one_hot = xh[..., 3:8]
         pred = np.asarray(classify(cls_params, jnp.asarray(one_hot), jnp.asarray(x), node_mask))
         target = ctx_norm[:, 0] * mad + mean  # unnormalize conditioning value
-        mae = float(np.abs(mad * pred + mean - target).mean())
+        # decode predictions with the classifier's own training-time
+        # normalizer when saved (classifier.json); falls back to the
+        # generator dataset's norms (identical when trained in-repo on the
+        # same dataset — the reference's single-normalizer case)
+        cls_mean = float(cls_meta.get("mean", mean))
+        cls_mad = float(cls_meta.get("mad", mad))
+        mae = float(np.abs(cls_mad * pred + cls_mean - target).mean())
         maes.append(mae)
         log.info(f"iteration {it + 1}/{iterations}: MAE={mae:.4f} (running {np.mean(maes):.4f})")
         if cfg.get("save_molecules", False):

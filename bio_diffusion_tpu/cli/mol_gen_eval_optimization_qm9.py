@@ -124,11 +124,29 @@ def main(argv=None):
     )
     mean, mad = props_norms[prop]["mean"], props_norms[prop]["mad"]
 
+    # classifier: a JAX classifier dir trained by cli.train_classifier
+    # (classifier.npz/classifier.json) or the reference torch directory
+    # layout (args.pickle + best_checkpoint.npy) — same branching as the
+    # conditional eval CLI, so the guided-optimization protocol (reference
+    # mol_gen_eval_optimization_qm9.py:433-449) is self-contained end to end
     classifier_dir = cfg.get("classifier_model_dir")
+    cls_meta: dict = {}
     if classifier_dir and os.path.isdir(str(classifier_dir)):
-        from bio_diffusion_tpu.models.classifier import load_torch_classifier
+        from bio_diffusion_tpu.train.classifier_train import (
+            is_jax_classifier_dir, load_jax_classifier,
+        )
 
-        classifier, cls_params = load_torch_classifier(str(classifier_dir))
+        if is_jax_classifier_dir(str(classifier_dir)):
+            classifier, cls_params, cls_meta = load_jax_classifier(str(classifier_dir))
+            if cls_meta.get("property") not in (None, prop):
+                log.warning(
+                    f"classifier was trained for property "
+                    f"{cls_meta['property']!r}, optimizing {prop!r}"
+                )
+        else:
+            from bio_diffusion_tpu.models.classifier import load_torch_classifier
+
+            classifier, cls_params = load_torch_classifier(str(classifier_dir))
     else:
         from bio_diffusion_tpu.models.classifier import EGNNClassifier
 
@@ -137,6 +155,11 @@ def main(argv=None):
         cls_params = classifier.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 4, 5)), jnp.zeros((1, 4, 3)), jnp.ones((1, 4))
         )
+    # decode classifier predictions with ITS training-time normalizer when
+    # saved (JAX dirs carry mean/mad in classifier.json); the conditioning
+    # target keeps the generator dataset's normalizer
+    cls_mean = float(cls_meta.get("mean", mean))
+    cls_mad = float(cls_meta.get("mad", mad))
     classify = jax.jit(lambda p, h, x, m: classifier.apply(p, h, x, m))
 
     # the re-noise/denoise round trips ride the baked fast path (Pallas
@@ -183,7 +206,7 @@ def main(argv=None):
             out[..., :3], out[..., 3:3 + k_types].argmax(-1), np.asarray(node_mask), dataset_info
         )
         pred = np.asarray(classify(cls_params, oh_cur, x_cur, node_mask))
-        mae = float(np.abs(mad * pred + mean - target).mean())
+        mae = float(np.abs(cls_mad * pred + cls_mean - target).mean())
         entry = {
             "iteration": it + 1,
             "mol_stable": float(mol_stable.mean()),

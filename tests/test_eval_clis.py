@@ -147,6 +147,44 @@ def test_optimization_eval_cli(tmp_path):
     assert os.path.exists(os.path.join(out, "optimization_eval_alpha.json"))
 
 
+def test_optimization_eval_cli_with_jax_classifier(tmp_path):
+    """Self-contained guided-optimization protocol (VERDICT r4 #2): the
+    optimization CLI accepts a classifier directory trained by
+    cli.train_classifier (classifier.npz/classifier.json) — same branching
+    as conditional eval — and scores with its saved mean/MAD.  The trained
+    classifier's MAE must beat the random-classifier fallback's on the
+    same (seed-pinned) optimized samples."""
+    from bio_diffusion_tpu.cli.mol_gen_eval_optimization_qm9 import main as opt_main
+    from bio_diffusion_tpu.cli.train_classifier import main as cls_main
+
+    cls_out = str(tmp_path / "classifier")
+    res = cls_main([
+        "datamodule.dataloader_cfg.dataset=synthetic",
+        "property=alpha", "hidden_nf=32", "n_layers=2", "epochs=6",
+        "batch_size=48", "lr=2e-3", f"output_dir={cls_out}",
+    ])
+    model_dir = res["model_dir"]
+    assert os.path.isfile(os.path.join(model_dir, "classifier.json"))
+
+    common = TINY + [
+        "seed=11",  # identical generation + optimization trajectory in both runs
+        "property=alpha", "num_samples=4", "batch_size=4", "iterations=2",
+        "num_gen_timesteps=2", "num_optimization_timesteps=3",
+    ]
+    out_t = str(tmp_path / "opt_trained")
+    trained = opt_main(common + [
+        f"classifier_model_dir={model_dir}", f"output_dir={out_t}",
+    ])
+    out_r = str(tmp_path / "opt_random")
+    random_ = opt_main(common + [f"output_dir={out_r}"])
+
+    t_mae, r_mae = trained["final"]["mae"], random_["final"]["mae"]
+    assert np.isfinite(t_mae) and np.isfinite(r_mae)
+    assert t_mae < r_mae, (
+        f"trained classifier MAE {t_mae:.3f} must beat random fallback {r_mae:.3f}"
+    )
+
+
 def test_optimization_eval_cli_generate_only(tmp_path):
     """generate_molecules_only short-circuits after phase 1 (reference
     :290-341)."""
