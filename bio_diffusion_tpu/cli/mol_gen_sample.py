@@ -9,8 +9,12 @@ files + output.gif (reference sample_chain_and_save).
 
 ``ddpm_mode=pocket`` generates ligands into protein pockets by RePaint
 inpainting over the joint ligand+pocket graph (use with
-``experiment=pocket_mol_gen_ddpm``; ``pocket_file=<json>`` supplies a real
-pocket, otherwise synthetic shell pockets demo the path offline).
+``experiment=pocket_mol_gen_ddpm``).  Pocket input: ``pocket_file=<.pdb>``
+extracts CA atoms from a real structure (``pocket_chain=``,
+``pocket_center=[x,y,z]`` + ``pocket_radius=`` or ``pocket_ligand=<HETATM
+resname>`` cut out the binding site), ``pocket_file=<.json>`` supplies
+coords+residues directly, otherwise synthetic shell pockets demo the path
+offline.
 
 Writes per-molecule .xyz files (+ one .sdf when RDKit is available) and
 prints stability metrics of the generated batch.
@@ -105,10 +109,11 @@ def main(argv=None):
         # pocket-conditional ligand generation (the GCDM-SBDD workload,
         # reference README.md:302-304 / constants.py:98-1742): RePaint over
         # the joint ligand+pocket graph with pocket rows fixed.  Pocket
-        # input: pocket_file=<json with "coords" [[x,y,z],..] and
-        # "residues" ["A","C",..]> replicated num_samples times, or
-        # synthetic shell pockets (offline demo).  pocket_size /
-        # num_nodes(ligand) override the joint-histogram sampling.
+        # input: pocket_file=<.pdb> (CA extraction, optional binding-site
+        # cutout) or <.json with "coords" [[x,y,z],..] and "residues"
+        # ["A","C",..]>, replicated num_samples times; otherwise synthetic
+        # shell pockets (offline demo).  pocket_size / num_nodes(ligand)
+        # override the joint-histogram sampling.
         import json as _json
 
         from bio_diffusion_tpu.data.pocket import (
@@ -129,14 +134,31 @@ def main(argv=None):
 
         pocket_file = cfg.get("pocket_file")
         if pocket_file:
-            with open(str(pocket_file)) as f:
-                spec = _json.load(f)
-            px1 = np.asarray(spec["coords"], dtype=np.float32)
-            aa_enc = pinfo["aa_encoder"]
-            pa1 = np.asarray(
-                [r if isinstance(r, int) else aa_enc[str(r)] for r in spec["residues"]],
-                dtype=np.int64,
-            )
+            if str(pocket_file).lower().endswith(".pdb"):
+                # real structure: CA extraction (optionally one chain, or a
+                # radius cutout around pocket_center / the pocket_ligand
+                # HETATM centroid — the GCDM-SBDD binding-site definition)
+                from bio_diffusion_tpu.data.pocket import load_pocket_pdb
+
+                center = cfg.get("pocket_center")
+                px1, pa1 = load_pocket_pdb(
+                    str(pocket_file), pocket_name,
+                    chain=cfg.get("pocket_chain"),
+                    center=np.asarray(center, np.float32) if center else None,
+                    radius=(float(cfg["pocket_radius"])
+                            if cfg.get("pocket_radius") else None),
+                    ligand_resname=cfg.get("pocket_ligand"),
+                )
+            else:
+                with open(str(pocket_file)) as f:
+                    spec = _json.load(f)
+                px1 = np.asarray(spec["coords"], dtype=np.float32)
+                aa_enc = pinfo["aa_encoder"]
+                pa1 = np.asarray(
+                    [r if isinstance(r, int) else aa_enc[str(r)]
+                     for r in spec["residues"]],
+                    dtype=np.int64,
+                )
             pocket_x = np.broadcast_to(px1, (num_samples,) + px1.shape).copy()
             pocket_aa = np.broadcast_to(pa1, (num_samples,) + pa1.shape).copy()
             pocket_mask = np.ones((num_samples, len(px1)), np.float32)

@@ -183,6 +183,97 @@ def joint_dataset_info(dataset_name: str) -> Dict[str, Any]:
     }
 
 
+# PDB 3-letter -> 1-letter residue codes (the aa_encoder key alphabet;
+# reference metadata: /root/reference/src/datamodules/components/edm/
+# constants.py:98-1742 encodes pockets as one-letter CA residues)
+THREE_TO_ONE = {
+    "ALA": "A", "CYS": "C", "ASP": "D", "GLU": "E", "PHE": "F",
+    "GLY": "G", "HIS": "H", "ILE": "I", "LYS": "K", "LEU": "L",
+    "MET": "M", "ASN": "N", "PRO": "P", "GLN": "Q", "ARG": "R",
+    "SER": "S", "THR": "T", "VAL": "V", "TRP": "W", "TYR": "Y",
+    # common nonstandard residues mapped to their parent
+    "MSE": "M", "SEC": "C", "PYL": "K", "HSD": "H", "HSE": "H",
+}
+
+
+def load_pocket_pdb(
+    path: str,
+    pocket_name: str = "bindingmoad",
+    chain: Optional[str] = None,
+    center: Optional[np.ndarray] = None,
+    radius: Optional[float] = None,
+    ligand_resname: Optional[str] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Extract a CA-level binding pocket from a real PDB file (host-side,
+    stdlib parsing — no biopython dependency).
+
+    Day-one path for Binding MOAD / CrossDocked structures: the pocket is
+    the set of CA atoms, optionally restricted to one ``chain`` and/or to
+    a ball of ``radius`` angstroms around ``center``.  ``ligand_resname``
+    computes the center from that HETATM residue's centroid (the usual
+    binding-site definition: CAs within cutoff of the bound ligand).
+
+    Returns (coords [P, 3] float32, residue type indices [P] int64 in the
+    dataset's aa_encoder alphabet).  Unknown/nonstandard residues without
+    a THREE_TO_ONE parent are skipped with a warning count.
+    """
+    info = get_pocket_dataset_info(pocket_name)
+    aa_enc = info["aa_encoder"]
+    coords, residues, skipped = [], [], 0
+    het_coords = []
+    with open(path) as f:
+        for line in f:
+            rec = line[:6].strip()
+            if rec == "ENDMDL":  # first model only (NMR ensembles)
+                break
+            if rec not in ("ATOM", "HETATM"):
+                continue
+            try:
+                xyz = (float(line[30:38]), float(line[38:46]), float(line[46:54]))
+            except ValueError:
+                continue
+            resname = line[17:20].strip()
+            if rec == "HETATM":
+                if ligand_resname and resname == str(ligand_resname).strip():
+                    het_coords.append(xyz)
+                continue
+            if line[12:16].strip() != "CA":
+                continue
+            if chain and line[21].strip() != str(chain):
+                continue
+            altloc = line[16].strip()
+            if altloc not in ("", "A"):  # first alternate location only
+                continue
+            one = THREE_TO_ONE.get(resname)
+            if one is None or one not in aa_enc:
+                skipped += 1
+                continue
+            coords.append(xyz)
+            residues.append(aa_enc[one])
+    if ligand_resname:
+        if not het_coords:
+            raise ValueError(
+                f"no HETATM residue {ligand_resname!r} in {path} to center the pocket on"
+            )
+        center = np.mean(np.asarray(het_coords, dtype=np.float64), axis=0)
+        if radius is None:
+            radius = 8.0  # the GCDM-SBDD-style binding-site cutoff
+    x = np.asarray(coords, dtype=np.float32).reshape(-1, 3)
+    aa = np.asarray(residues, dtype=np.int64)
+    if center is not None and radius is not None:
+        keep = np.linalg.norm(x - np.asarray(center, np.float32)[None], axis=-1) <= float(radius)
+        x, aa = x[keep], aa[keep]
+    if len(x) == 0:
+        raise ValueError(f"no pocket CA atoms extracted from {path} "
+                         f"(chain={chain}, radius={radius}, skipped={skipped})")
+    if skipped:
+        import warnings
+
+        warnings.warn(f"{path}: skipped {skipped} CA atoms with residues "
+                      "outside the aa_encoder alphabet", stacklevel=2)
+    return x, aa
+
+
 def synthetic_pockets(
     dataset_name: str,
     pocket_sizes: np.ndarray,

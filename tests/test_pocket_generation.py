@@ -244,3 +244,107 @@ def test_pocket_sampling_cli_with_pocket_file(tmp_path, rng):
     # every generated ligand conditioned on the same supplied pocket
     assert np.allclose(saved["coords"][0], coords)
     assert np.allclose(saved["coords"][1], coords)
+
+
+def _pdb_line(serial, resname, chain, resseq, x, y, z, rec="ATOM",
+              name=" CA ", altloc=" "):
+    return (f"{rec:<6}{serial:>5} {name:<4}{altloc}{resname:<3} {chain}"
+            f"{resseq:>4}    {x:8.3f}{y:8.3f}{z:8.3f}  1.00  0.00")
+
+
+def _write_fixture_pdb(path, rng):
+    """A minimal real-format PDB: an 8-residue chain-A binding site around
+    (10, 0, -5), a far-away chain-B helix, a HETATM ligand (LIG) in the
+    site, one MSE (nonstandard -> M), one UNK (skipped), one altloc B CA
+    (skipped)."""
+    lines = ["HEADER    TEST POCKET"]
+    center = np.array([10.0, 0.0, -5.0])
+    site = ["ALA", "CYS", "ASP", "GLY", "LEU", "SER", "TRP", "MSE"]
+    serial = 1
+    site_coords = []
+    for i, res in enumerate(site):
+        p = center + rng.normal(size=3) * 2.5
+        site_coords.append(p)
+        lines.append(_pdb_line(serial, res, "A", i + 1, *p))
+        serial += 1
+    # altloc B duplicate of residue 1 — must be ignored
+    lines.append(_pdb_line(serial, "ALA", "A", 1, *(center + 1.0), altloc="B"))
+    serial += 1
+    # unknown residue inside the site — skipped with a warning
+    lines.append(_pdb_line(serial, "UNK", "A", 9, *(center + 0.5)))
+    serial += 1
+    # chain B far from the ligand
+    far_coords = []
+    for i in range(4):
+        p = np.array([50.0, 50.0, 50.0]) + rng.normal(size=3) * 2.0
+        far_coords.append(p)
+        lines.append(_pdb_line(serial, "VAL", "B", i + 1, *p))
+        serial += 1
+    # the bound ligand: 3 HETATM atoms at the site center
+    for i in range(3):
+        lines.append(_pdb_line(serial, "LIG", "A", 99, *(center + 0.3 * i),
+                               rec="HETATM", name=" C  "))
+        serial += 1
+    lines.append("END")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return np.asarray(site_coords, np.float32), np.asarray(far_coords, np.float32)
+
+
+def test_load_pocket_pdb_extraction(tmp_path, rng):
+    """CA extraction from a real-format PDB: residue alphabet mapping,
+    chain filter, altloc handling, and the ligand-centered binding-site
+    cutout (the GCDM-SBDD pocket definition)."""
+    import pytest as _pytest
+
+    from bio_diffusion_tpu.data.pocket import get_pocket_dataset_info, load_pocket_pdb
+
+    pdb = str(tmp_path / "site.pdb")
+    site_coords, far_coords = _write_fixture_pdb(pdb, rng)
+    info = get_pocket_dataset_info("bindingmoad")
+
+    # whole file: 8 site CAs (incl. MSE->M) + 4 chain-B CAs; UNK + altloc-B skipped
+    with _pytest.warns(UserWarning, match="skipped 1 CA"):
+        x, aa = load_pocket_pdb(pdb)
+    assert x.shape == (12, 3) and aa.shape == (12,)
+    assert aa[7] == info["aa_encoder"]["M"]  # MSE mapped to parent MET
+
+    # chain filter
+    with _pytest.warns(UserWarning):
+        x_a, _ = load_pocket_pdb(pdb, chain="A")
+    assert x_a.shape == (8, 3)
+    np.testing.assert_allclose(x_a, site_coords, atol=1e-3)
+
+    # ligand-centered cutout: default 8 A radius keeps the site, drops chain B
+    with _pytest.warns(UserWarning):
+        x_lig, aa_lig = load_pocket_pdb(pdb, ligand_resname="LIG")
+    assert len(x_lig) == 8
+    assert np.abs(x_lig - np.array([10.0, 0.0, -5.0])).max() < 9.0
+
+    with _pytest.raises(ValueError, match="no HETATM"):
+        load_pocket_pdb(pdb, ligand_resname="XYZ")
+
+
+def test_pocket_sampling_cli_with_pdb_file(tmp_path, rng):
+    """Day-one readiness (VERDICT r4 #7): generate ligands directly into a
+    real .pdb structure's binding site through the sample CLI."""
+    from bio_diffusion_tpu.cli.mol_gen_sample import main
+    from bio_diffusion_tpu.data.pocket import load_pocket_pdb
+
+    pdb = str(tmp_path / "site.pdb")
+    _write_fixture_pdb(pdb, rng)
+    expected_x, _ = load_pocket_pdb(pdb, ligand_resname="LIG")
+
+    out_dir = str(tmp_path / "pdb_pocket_samples")
+    metrics = main(POCKET_TINY + [
+        "ddpm_mode=pocket", "num_samples=2", "num_timesteps=6",
+        f"pocket_file={pdb}", "pocket_ligand=LIG",
+        f"output_dir={out_dir}",
+    ])
+    assert np.isfinite(metrics["atm_stable"])
+    run = os.path.join(out_dir, os.listdir(out_dir)[0])
+    with open(os.path.join(run, "pockets.json")) as f:
+        saved = json.load(f)
+    # every generated ligand conditioned on the extracted binding site
+    assert np.allclose(saved["coords"][0], expected_x, atol=1e-3)
+    assert np.allclose(saved["coords"][1], expected_x, atol=1e-3)
