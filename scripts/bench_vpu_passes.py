@@ -34,7 +34,9 @@ def main(argv=None):
 
     rows = int(opt("--rows", 90250))
     cols = int(opt("--cols", 256))
-    block = int(opt("--block", 1805))  # one QM9 fused cell (5 mols x 19 x 19)
+    # ~one QM9 fused cell (5 mols x 19 x 19 = 1805 rows), rounded to the
+    # Mosaic block constraint (sublane-divisible)
+    block = int(opt("--block", 1808))
     reps = int(opt("--reps", 20))
 
     import jax
@@ -64,10 +66,13 @@ def main(argv=None):
 
     def build(op_fn, k):
         def kernel(x_ref, o_ref):
-            y = x_ref[...]
-            for _ in range(k):
-                y = op_fn(y)
-            o_ref[...] = y
+            # fori_loop keeps the op as a real per-iteration pass — a python
+            # unroll lets Mosaic fold idempotent/affine chains (casts, mul by
+            # a constant) into one op, which is exactly what we must not
+            # measure
+            o_ref[...] = jax.lax.fori_loop(
+                0, k, lambda i, y: op_fn(y), x_ref[...]
+            )
 
         return pl.pallas_call(
             kernel,
@@ -84,18 +89,23 @@ def main(argv=None):
     def timed(fn):
         y = fn(x)
         float(jnp.sum(y))  # force completion over the axon tunnel
-        t0 = time.time()
-        for _ in range(reps):
-            y = fn(x)
-        float(jnp.sum(y))
-        return (time.time() - t0) / reps
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.time()
+            for _ in range(reps):
+                y = fn(x)
+            float(jnp.sum(y))
+            best = min(best, (time.time() - t0) / reps)
+        return best
 
     print(f"# device={jax.devices()[0]} rows={rows} cols={cols} "
           f"block={block} grid={grid}", file=sys.stderr)
     elems = rows * cols
     results = {}
     for name, fn in OPS.items():
-        k_lo, k_hi = 2, 10
+        # large k-delta so the slope dwarfs tunnel/launch jitter (each
+        # [88592, 256] pass is only a few us)
+        k_lo, k_hi = 8, 104
         t_lo = timed(jax.jit(build(fn, k_lo)))
         t_hi = timed(jax.jit(build(fn, k_hi)))
         per_pass = (t_hi - t_lo) / (k_hi - k_lo)
