@@ -140,8 +140,11 @@ def run_train_bench(steps_timed=20):
     hist = {int(n): int(c) for n, c in zip(*np.unique(num_atoms, return_counts=True))}
     nodes_dist = NumNodesDistribution(hist)
     opt_tx = make_optimizer(OptimizerConfig())
+    # donate=True is the production Trainer configuration (train/loop.py):
+    # in-place state buffers cut the clip+opt+EMA glue — 44.9 -> 36.9
+    # ms/step measured (BASELINE.md r5 roofline)
     step = make_train_step(evd.clone(dynamics=fast), opt_tx, dc, dl,
-                           nodes_dist.log_prob_table, donate=False)
+                           nodes_dist.log_prob_table, donate=True)
     state = create_train_state(params, opt_tx)
     t0 = time.time()
     state, metrics = step(state, b, jax.random.PRNGKey(1))

@@ -107,7 +107,7 @@ def main(argv=None):
     _, x0 = centralize(b.x, b.node_mask)
     params = evd.init(key, x0, b.one_hot, b.charges, b.node_mask, key, training=True)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
-    print(f"# device={jax.devices()[0]} B={batch} N={nodes} L={layers} "
+    print(f"# device={jax.devices()[0]} B={batch} N={nodes} L={mc.num_encoder_layers} "
           f"{precision} params={n_params:,} remat(module)={remat}", file=sys.stderr)
 
     from bio_diffusion_tpu.models.distributions import NumNodesDistribution
