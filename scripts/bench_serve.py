@@ -34,6 +34,13 @@ def main():
     from bio_diffusion_tpu.cli.common import default_config_dir
     from bio_diffusion_tpu.cli.serve import build_server
     from bio_diffusion_tpu.config.loader import load_config
+    from bio_diffusion_tpu.utils.compilation_cache import enable_compilation_cache
+
+    # this script builds the server directly (no parse_cli), so it must
+    # enable the persistent compile cache itself — a dist-mix warmup
+    # compiles the full bucket ladder and would otherwise start cold on
+    # every invocation
+    enable_compilation_cache()
 
     precision = os.environ.get("SERVE_PRECISION", "bf16")
     if precision in ("bf16", "bfloat16"):
