@@ -65,6 +65,7 @@ def main(argv=None):
     num_timesteps = cfg.get("num_timesteps")
     num_timesteps = int(num_timesteps) if num_timesteps else None
     ddpm_mode = cfg.get("ddpm_mode", "unconditional")
+    extra_metrics: dict = {}
     out_dir = os.path.join(
         str(cfg.get("output_dir", "outputs/mol_gen_sample")),
         datetime.datetime.now().strftime("%Y%m%d_%H%M%S"),
@@ -203,6 +204,14 @@ def main(argv=None):
         node_mask = out["ligand_mask"]
         # metrics + I/O run on the LIGAND space (the pocket is conditioning)
         dataset_info = ligand_dataset_info(pocket_name)
+        # geometric pocket diagnostics (bonded-scale spacing + containment
+        # in the pocket — discriminating even where valence stability is
+        # null, train/sampling.py ligand_pocket_geometry)
+        from bio_diffusion_tpu.train.sampling import ligand_pocket_geometry
+
+        extra_metrics = ligand_pocket_geometry(
+            out["ligand_x"], out["ligand_mask"], pocket_x, pocket_mask
+        )
         # keep the conditioning pockets alongside the generated ligands
         pocket_out = {
             "coords": pocket_x.tolist(),
@@ -287,6 +296,7 @@ def main(argv=None):
         log.info(f"Wrote {len(mols)} molecules to {sdf_path}")
 
     metrics = analyze_samples(xh, node_mask, dataset_info, exp.dataloader_cfg.include_charges)
+    metrics.update(extra_metrics)
     log.info(f"Sample metrics: {metrics}")
     print(metrics)
     return metrics

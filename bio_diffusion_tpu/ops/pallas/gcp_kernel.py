@@ -822,12 +822,15 @@ def fused_message_layer(
 # The packed-layout XLA AD backward is matmul-efficient but pays HBM traffic
 # for every saved edge-space residual (~4 x [E, 256]-scale tensors per layer
 # per direction).  This kernel recomputes the forward per cell in VMEM
-# (storing only the per-stage residual states) and emits input + weight
-# gradients in one pass: weight grads accumulate across the sequential grid
-# into constant-index output blocks (f32).
+# (keeping the per-stage residual states AND stage internals VMEM-resident
+# for the reverse loop — one forward recompute total, not two) and emits
+# input + weight gradients in one pass: weight grads accumulate across the
+# sequential grid into constant-index output blocks (f32).
 #
-# Whole-molecule cells only (ti == n); the sub-tiled giant-molecule case
-# falls back to AD through message_layer_reference (gcpnet_fast.py).
+# Covers whole-molecule cells (ti == n, with molecule fusion) and the
+# sub-molecule tiling for giant molecules (n % 8 == 0); AD fallback through
+# message_layer_reference remains only for illegal node counts
+# (gcpnet_fast.py make_message_layer_fn).
 # ---------------------------------------------------------------------------
 
 
@@ -959,11 +962,20 @@ def _message_layer_bwd_kernel(
 
     s_stages = [silu1]
     v_stages = [vu1 * g3_1]
+    # per-stage internals kept VMEM-resident for the reverse loop: before
+    # round 5 the reverse loop RECOMPUTED vhd/merged/s2/sig/gate/vu per
+    # stage — a second full chain forward (4 matmuls + 2 transcendental
+    # passes per stage) inside every backward call.  Caching costs ~7 MB of
+    # VMEM per stage at QM9 cell shapes (rows<=2048) and nothing in HBM;
+    # the cached f32 values are bit-identical to what the reverse loop
+    # used to recompute.
+    stage_cache = []
     for g in range(num_gcps):
         s_g, v_g = s_stages[-1], v_stages[-1]
         vhd_g = jnp.dot(v_g, wcomb_ref[g], preferred_element_type=f32)
         q_g = sum(vhd_g[:, k * hc:(k + 1) * hc] ** 2 for k in range(3))
-        vnorm_g = jnp.sqrt(q_g + 1e-8) + 1e-8
+        root_g = jnp.sqrt(q_g + 1e-8)
+        vnorm_g = root_g + 1e-8
         schid_g = scalarize_fwd(vhd_g[:, hc3:])
         merged = jnp.concatenate(
             [s_g.astype(f32), vnorm_g, schid_g], axis=-1
@@ -971,12 +983,17 @@ def _message_layer_bwd_kernel(
         s2_g = jnp.dot(merged, wsc_ref[g], preferred_element_type=f32) + bsc_ref[g].astype(f32)
         sig_g = _sigmoid(s2_g)
         silu_g = (s2_g * sig_g).astype(dt)
-        gate_g = _sigmoid(
+        gate_f32 = _sigmoid(
             jnp.dot(silu_g, wgc_ref[g], preferred_element_type=f32) + bgc_ref[g].astype(f32)
-        ).astype(dt)
-        vu_g = jnp.dot(vhd_g[:, :hc3].astype(dt), wubd_ref[g], preferred_element_type=f32).astype(dt)
+        )
+        vu_f32 = jnp.dot(vhd_g[:, :hc3].astype(dt), wubd_ref[g], preferred_element_type=f32)
+        stage_cache.append(
+            (vhd_g, root_g, merged, s2_g, sig_g, silu_g, gate_f32, vu_f32)
+        )
         s_stages.append(s_g + silu_g)
-        v_stages.append(v_g + vu_g * jnp.concatenate([gate_g] * 3, axis=-1))
+        v_stages.append(
+            v_g + vu_f32.astype(dt) * jnp.concatenate([gate_f32.astype(dt)] * 3, axis=-1)
+        )
 
     s_fin = s_stages[-1]  # [rows, S] pre-attention
     v_fin = v_stages[-1]
@@ -1029,25 +1046,12 @@ def _message_layer_bwd_kernel(
         d_vhd = jnp.concatenate([d_vh] + d_vdfrep_parts, axis=1)
         return d_vhd, jnp.concatenate(d_ft_parts, axis=1)
 
-    # chain stages in reverse
+    # chain stages in reverse — stage internals come from the VMEM cache
+    # built during the forward recompute above (gate_g/vu_g are the f32
+    # pre-cast values, exactly what this loop used to recompute)
     for g in reversed(range(num_gcps)):
         s_in, v_in = s_stages[g], v_stages[g]
-        # recompute stage internals
-        vhd_g = jnp.dot(v_in, wcomb_ref[g], preferred_element_type=f32)
-        q_g = sum(vhd_g[:, k * hc:(k + 1) * hc] ** 2 for k in range(3))
-        root_g = jnp.sqrt(q_g + 1e-8)
-        vnorm_g = root_g + 1e-8
-        schid_g = scalarize_fwd(vhd_g[:, hc3:])
-        merged = jnp.concatenate(
-            [s_in.astype(f32), vnorm_g, schid_g], axis=-1
-        ).astype(dt)
-        s2_g = jnp.dot(merged, wsc_ref[g], preferred_element_type=f32) + bsc_ref[g].astype(f32)
-        sig_g = _sigmoid(s2_g)
-        silu_g = (s2_g * sig_g).astype(dt)
-        gate_g = _sigmoid(
-            jnp.dot(silu_g, wgc_ref[g], preferred_element_type=f32) + bgc_ref[g].astype(f32)
-        )
-        vu_g = jnp.dot(vhd_g[:, :hc3].astype(dt), wubd_ref[g], preferred_element_type=f32)
+        vhd_g, root_g, merged, s2_g, sig_g, silu_g, gate_g, vu_g = stage_cache[g]
 
         gate3 = jnp.concatenate([gate_g] * 3, axis=-1)
         d_silu = ds

@@ -347,6 +347,49 @@ def analyze_samples(
     return metrics
 
 
+def ligand_pocket_geometry(
+    ligand_x: np.ndarray,  # [B, Nl, 3]
+    ligand_mask: np.ndarray,  # [B, Nl]
+    pocket_x: np.ndarray,  # [B, Np, 3]
+    pocket_mask: np.ndarray,  # [B, Np]
+) -> Dict[str, float]:
+    """Geometry diagnostics for pocket-conditional generation (host-side).
+
+    Valence-based stability is a NULL metric on the synthetic random-walk
+    joint data (its own ground-truth ligands score ~0: interior chain atoms
+    have valence 2) — these two geometric statistics discriminate trained
+    from untrained models on any joint distribution:
+
+      lig_nn_dist    mean nearest-neighbor distance among each ligand's
+                     atoms (Å) — bonded-scale spacing (data ~1.1 Å on the
+                     synthetic chains) vs the reverse-chain blow-up an
+                     untrained denoiser produces
+      lig_center_rms mean RMS ligand-atom distance from the POCKET centroid
+                     (Å) — is the ligand actually placed inside the pocket
+                     (data ~2.3 Å inside a ~10 Å shell)
+
+    Returns {} when no molecule has >= 2 ligand atoms.
+    """
+    nn_dists, center_rms = [], []
+    for i in range(len(ligand_x)):
+        lm = ligand_mask[i] > 0
+        pm = pocket_mask[i] > 0
+        x = np.asarray(ligand_x[i][lm], dtype=np.float64)
+        if len(x) < 2 or pm.sum() == 0:
+            continue
+        dm = np.linalg.norm(x[:, None] - x[None], axis=-1)
+        np.fill_diagonal(dm, np.inf)
+        nn_dists.append(dm.min(axis=1).mean())
+        center = np.asarray(pocket_x[i][pm], dtype=np.float64).mean(axis=0)
+        center_rms.append(np.sqrt(((x - center) ** 2).sum(-1).mean()))
+    if not nn_dists:
+        return {}
+    return {
+        "lig_nn_dist": float(np.mean(nn_dists)),
+        "lig_center_rms": float(np.mean(center_rms)),
+    }
+
+
 def generate_ligands_in_pocket(
     evd,
     params,

@@ -38,7 +38,7 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", platform)
-    steps = int(os.environ.get("POCKET_STEPS", 6 if preset == "tiny" else 400))
+    steps = int(os.environ.get("POCKET_STEPS", 6 if preset == "tiny" else 2500))
     n_samples = int(os.environ.get("POCKET_SAMPLES", 2 if preset == "tiny" else 100))
     timesteps = int(os.environ.get("POCKET_TIMESTEPS", 6 if preset == "tiny" else 250))
     batch = int(os.environ.get("POCKET_BATCH", 8 if preset == "tiny" else 16))
@@ -104,16 +104,53 @@ def main():
 
     result = {"steps": steps, "final_loss": round(final_loss, 4),
               "first_loss": round(losses[0], 4) if losses else None}
+
+    # ground-truth row: the SAME metrics computed on the synthetic joint
+    # dataset's own ligands.  This makes the null metrics explicit (the
+    # random-walk chains score ~0 valence stability by construction — a
+    # trained model cannot beat the data it was trained on) and pins the
+    # targets for the discriminating geometric metrics.
+    import numpy as np
+
+    from bio_diffusion_tpu.data.pocket import (
+        ligand_dataset_info, synthetic_pocket_joint_dataset,
+    )
+    from bio_diffusion_tpu.train.sampling import (
+        analyze_samples, ligand_pocket_geometry,
+    )
+
+    ds = synthetic_pocket_joint_dataset("bindingmoad", num_graphs=128, seed=0)
+    linfo = ligand_dataset_info("bindingmoad")
+    kl_w = len(linfo["atom_decoder"])
+    nl_arr = ds.data["num_ligand_atoms"]
+    n_max_l = int(nl_arr.max())
+    gx = np.zeros((len(nl_arr), n_max_l, 3), np.float32)
+    gh = np.zeros((len(nl_arr), n_max_l, kl_w), np.float32)
+    gm = np.zeros((len(nl_arr), n_max_l), np.float32)
+    px = np.zeros((len(nl_arr), ds.data["positions"].shape[1], 3), np.float32)
+    pm = np.zeros((len(nl_arr), ds.data["positions"].shape[1]), np.float32)
+    for i, nl in enumerate(nl_arr):
+        nl = int(nl)
+        npk = int(ds.data["num_atoms"][i]) - nl
+        gx[i, :nl] = ds.data["positions"][i, :nl]
+        gh[i, :nl] = ds.data["one_hot"][i, :nl, :kl_w]
+        gm[i, :nl] = 1.0
+        px[i, :npk] = ds.data["positions"][i, nl: nl + npk]
+        pm[i, :npk] = 1.0
+    gt = analyze_samples(np.concatenate([gx, gh], -1), gm, linfo,
+                         include_charges=False)
+    gt.update(ligand_pocket_geometry(gx, gm, px, pm))
+    keys = ("atm_stable", "mol_stable", "validity", "kl_div_atom_types",
+            "lig_nn_dist", "lig_center_rms")
+    result["data"] = {k: round(float(gt[k]), 4) for k in keys if k in gt}
+
     for tag, extra in (
         ("trained", [f"ckpt_path={os.path.join(workdir, 'checkpoints')}"]),
         ("random", []),
     ):
         m = sample_main(sample_common + extra
                         + [f"output_dir={os.path.join(workdir, 'samples_' + tag)}"])
-        result[tag] = {k: round(float(m[k]), 4)
-                       for k in ("atm_stable", "mol_stable", "validity",
-                                 "kl_div_atom_types")
-                       if k in m}
+        result[tag] = {k: round(float(m[k]), 4) for k in keys if k in m}
     print(json.dumps(result))
     return result
 
