@@ -348,3 +348,43 @@ def test_pocket_sampling_cli_with_pdb_file(tmp_path, rng):
     # every generated ligand conditioned on the extracted binding site
     assert np.allclose(saved["coords"][0], expected_x, atol=1e-3)
     assert np.allclose(saved["coords"][1], expected_x, atol=1e-3)
+
+
+def test_ligand_pocket_geometry_metrics():
+    """ligand_pocket_geometry: ground-truth synthetic ligands score bonded-
+    scale NN spacing and pocket containment; blown-up coordinates don't;
+    degenerate inputs return {} (train/sampling.py)."""
+    from bio_diffusion_tpu.data.pocket import synthetic_pocket_joint_dataset
+    from bio_diffusion_tpu.train.sampling import ligand_pocket_geometry
+
+    ds = synthetic_pocket_joint_dataset("bindingmoad", num_graphs=16, seed=3)
+    nl_arr = ds.data["num_ligand_atoms"]
+    n_max = int(nl_arr.max())
+    npock_max = int((ds.data["num_atoms"] - nl_arr).max())
+    b = len(nl_arr)
+    gx = np.zeros((b, n_max, 3), np.float32)
+    gm = np.zeros((b, n_max), np.float32)
+    px = np.zeros((b, npock_max, 3), np.float32)
+    pm = np.zeros((b, npock_max), np.float32)
+    for i, nl in enumerate(nl_arr):
+        nl = int(nl)
+        npk = int(ds.data["num_atoms"][i]) - nl
+        gx[i, :nl] = ds.data["positions"][i, :nl]
+        gm[i, :nl] = 1.0
+        px[i, :npk] = ds.data["positions"][i, nl: nl + npk]
+        pm[i, :npk] = 1.0
+
+    m = ligand_pocket_geometry(gx, gm, px, pm)
+    # random-walk chains: 1.5 A steps with collisions -> NN ~1.1 A; ligand
+    # centered inside the ~10 A pocket shell
+    assert 0.8 < m["lig_nn_dist"] < 1.6
+    assert m["lig_center_rms"] < 8.0
+
+    # a reverse-chain blow-up (what an untrained denoiser produces) is
+    # unambiguously separated
+    m_blown = ligand_pocket_geometry(gx * 100.0, gm, px, pm)
+    assert m_blown["lig_nn_dist"] > 10 * m["lig_nn_dist"]
+    assert m_blown["lig_center_rms"] > 10 * m["lig_center_rms"]
+
+    # degenerate: no molecule with >= 2 ligand atoms
+    assert ligand_pocket_geometry(gx[:, :1], gm[:, :1] * 0, px, pm) == {}
