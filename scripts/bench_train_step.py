@@ -43,8 +43,11 @@ def main(argv=None):
             return argv[argv.index(flag) + 1]
         return default
 
-    batch = int(opt("--batch", 64))
-    nodes = int(opt("--nodes", 29))
+    # --geom defaults to its flagship training shape (B=8, N=181 — the
+    # geom_mol_gen_ddpm config); explicit --batch/--nodes still override
+    geom = "--geom" in argv
+    batch = int(opt("--batch", 8 if geom else 64))
+    nodes = int(opt("--nodes", 181 if geom else 29))
     layers = int(opt("--layers", 9))
     precision = opt("--precision", "bf16")
     steps = int(opt("--steps", 20))
@@ -120,7 +123,11 @@ def main(argv=None):
     def bench(name, evd_variant):
         step = make_train_step(evd_variant, opt_tx, dc, dl, nodes_dist.log_prob_table,
                                donate=donate)
-        state = create_train_state(params, opt_tx)
+        # donated steps consume their input buffers — hand them copies so
+        # `params` stays usable for later paths and the --split section
+        state = create_train_state(
+            jax.tree.map(jnp.copy, params) if donate else params, opt_tx
+        )
         t0 = time.time()
         state, metrics = step(state, b, jax.random.PRNGKey(1))
         loss0 = float(metrics["loss"])  # forces completion
