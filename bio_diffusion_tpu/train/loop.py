@@ -284,6 +284,12 @@ class Trainer:
             batch_iter = self._limited(
                 self._batch_iter("train"), exp.trainer.limit_train_batches
             )
+        # host-side step counter for the max_steps check: `int(state.step)`
+        # is a device->host sync, and over the remote-TPU tunnel one round
+        # trip per step dominated the loop (~10x the device step time).
+        # The optimizer step count advances by exactly 1 per train_step, so
+        # one sync at epoch start suffices.
+        host_step = int(self.state.step) if max_steps is not None else 0
         for batch in batch_iter:
             if accum > 1:
                 # reference accumulate_grad_batches (trainer/default.yaml:29):
@@ -296,9 +302,10 @@ class Trainer:
             else:
                 self.state, metrics = self.train_step(self.state, self._shard(batch), key)
             n_batches += 1
+            host_step += 1
             for k, v in metrics.items():
                 metrics_acc.setdefault(k, []).append(v)
-            if max_steps is not None and int(self.state.step) >= max_steps:
+            if max_steps is not None and host_step >= max_steps:
                 break
         # materialize at epoch end only (no per-step host syncs)
         out = {k: float(np.mean([np.asarray(v) for v in vs])) for k, vs in metrics_acc.items()}
