@@ -204,11 +204,14 @@ def train_property_classifier(
                 params, opt_state, jnp.asarray(b.one_hot), jnp.asarray(b.x),
                 jnp.asarray(b.node_mask), label,
             )
-            epoch_losses.append(float(loss))
+            # keep losses as device arrays in-loop: float(loss) every step is
+            # a device->host sync, and over the remote-TPU tunnel one round
+            # trip per step dominates (train/loop.py learned the same lesson)
+            epoch_losses.append(loss)
             if step % log_every == 0:
                 log.info(f"classifier epoch {epoch} step {step}: L1={float(loss):.4f}")
             step += 1
-        history["train_loss"].append(float(np.mean(epoch_losses)))
+        history["train_loss"].append(float(np.mean([np.asarray(l) for l in epoch_losses])))
         if valid_ds is not None:
             mae = run_eval(params, valid_ds)
             history["valid_mae"].append(mae)
