@@ -50,6 +50,12 @@ def main():
         "experiment=pocket_mol_gen_ddpm",
         f"datamodule.dataloader_cfg.batch_size={batch}",
         "model.diffusion_cfg.sample_during_training=false",
+        # sampling restores EMA params; at the reference decay (0.9999,
+        # horizon 10k steps) a few-thousand-step protocol's EMA is still
+        # mostly the random init — the first run of this script measured
+        # trained==random geometry for exactly that reason.  A 100-step
+        # horizon tracks the short run.
+        "trainer.ema_decay=0.99",
         "extras.print_config=false",
     ]
     if preset == "mid":
